@@ -1,0 +1,168 @@
+"""Text analysis for training-data pipelines: tokenization, stats,
+quality scoring, language ID, shingling, fingerprinting.
+
+All hot-path expressions are Spark built-ins / higher-order functions
+(JVM-side, codegen'd); no Python UDFs. Per-document work is
+embarrassingly parallel — no shuffle until an aggregation asks for
+one — so every function here scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny language-marker profiles for the heuristic language-ID scorer.
+# Real pipelines would plug a fastText-style model in via mapInPandas;
+# the engine-side contract is the scoring/argmax plumbing, which is
+# identical regardless of the marker source.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3"),  # pinyin-ish placeholder
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenization, empty tokens dropped (JVM-side)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (higher-order funcs, no
+    UDF): for each start index i, join tokens[i:i+n] with spaces.
+    Documents shorter than ``n`` tokens yield an empty array.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(-1)))
+    return F.when(F.size(tok_col) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(
+                      " ", *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(n)]
+                  ))).otherwise(F.array().cast("array<string>"))
+
+
+def text_stats(docs: DataFrame, lang: str | None = None) -> DataFrame:
+    """Per-document token/char stats (optionally filtered to one lang)."""
+    out = docs
+    if lang is not None:
+        out = out.filter(F.col("lang") == lang)
+    return out.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+def term_counts(docs: DataFrame) -> DataFrame:
+    """Corpus term frequencies: explode tokens → groupBy count.
+
+    Scale note: the vocabulary is the group key; partial (map-side)
+    aggregation collapses each task's counts before the shuffle, so a
+    skewed term ("the") costs one partial row per task, not a hot
+    reducer. This is the TF half of TF-IDF; the DF half is
+    ``doc_freq`` below.
+    """
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+
+
+def doc_freq(docs: DataFrame) -> DataFrame:
+    """Document frequency per term (distinct doc, term) — IDF input."""
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def quality_features(docs: DataFrame, stop_terms: tuple[str, ...] = ("the", "a")) -> DataFrame:
+    """Per-document quality features: token count, stopword ratio,
+    mean token length. All integer/rational arithmetic (deterministic
+    across engines); the ratio is a single double division.
+    """
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(t) for t in stop_terms])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stop_ratio"),
+        F.round(tok_chars.cast("double") / n_tok, 6).alias("mean_token_len"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: score = marker-token hits per language,
+    argmax with deterministic alphabetical tie-break → ``lang_pred``.
+
+    Pure built-ins: one pass, no shuffle, no UDF. (On the synthetic
+    corpus the text is language-agnostic word salad, so predictions are
+    exercised for plumbing/determinism, not accuracy — see tests for a
+    fixture where the markers actually discriminate.)
+    """
+    toks = tokens("text")
+
+    def marker_score(code: str) -> Column:
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    # struct comparison is lexicographic on (score, rank, code); rank is
+    # assigned so that on equal scores the alphabetically-first code has
+    # the HIGHER rank and wins the array_max — a total, deterministic order.
+    lang_rank = {code: i for i, code in enumerate(sorted(LANG_MARKERS, reverse=True))}
+    ranked = [
+        F.struct(
+            marker_score(code).alias("score"),
+            F.lit(lang_rank[code]).alias("rank"),
+            F.lit(code).alias("code"),
+        )
+        for code in sorted(LANG_MARKERS)
+    ]
+    best = F.array_max(F.array(*ranked))
+    return docs.select("doc_id", "lang", best["code"].alias("lang_pred"))
+
+
+def doc_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-token shingle (xxhash64 — JVM built-in, seed-stable),
+    then keep the minimum hash in every sliding window of ``window``
+    consecutive shingle hashes. Output: distinct fingerprints per doc.
+
+    Built-ins only: shingle → hash via ``transform``, sliding-window
+    min via ``transform`` over start indexes + ``array_min`` of
+    ``slice``. Deterministic; no shuffle until the final distinct.
+    """
+    toks = tokens("text")
+    sh = shingles(toks, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
+    mins = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+        F.array().cast("array<bigint>")))
+    return docs.select(
+        "doc_id", F.array_distinct(mins).alias("fingerprints")
+    ).select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("min_fingerprint"),
+    )

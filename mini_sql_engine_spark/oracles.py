@@ -1,0 +1,349 @@
+"""DuckDB oracle SQL per hash-checkable Qkey (SURVEY.md §2 contract).
+
+Each statement is the ANSI-SQL twin of the same-named entry in
+``mini_sql_engine_spark.queries``: identical column names, identical
+value discipline (decimal-exact sums, CAST AS DOUBLE — never ``*1.0``,
+which is DECIMAL math in DuckDB — and the same rounding at the same
+decimals). Integer outputs are BIGINT on both sides.
+
+Keys intentionally ABSENT (rows-only contract — no faithful DuckDB
+twin; validated instead by pytest numpy/python oracles, see tests/):
+dedup_near, dedup_simhash, dedup_embed, sim_topk, sim_ann, lang_id,
+doc_fingerprint, multimodal_features.
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["scan_table"] = "SELECT * FROM lineitem"
+
+ORACLES["project_cols"] = (
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+)
+
+ORACLES["project_expr"] = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0::DOUBLE - l_discount) AS revenue
+FROM lineitem
+"""
+
+ORACLES["filter_cmp"] = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 30
+"""
+
+ORACLES["filter_colcmp"] = """
+SELECT l_orderkey, l_linenumber, l_tax, l_discount
+FROM lineitem WHERE l_tax > l_discount
+"""
+
+ORACLES["filter_and"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+"""
+
+ORACLES["filter_or"] = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem WHERE l_returnflag = 'R' OR l_quantity <= 5
+"""
+
+ORACLES["cross_join"] = """
+SELECT r_regionkey, r_name, n_nationkey, n_name FROM region, nation
+"""
+
+ORACLES["equi_join"] = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["join3"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice, c_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["theta_join"] = """
+SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+FROM customer JOIN supplier
+  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+"""
+
+ORACLES["left_join"] = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+ORACLES["semi_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+ORACLES["anti_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLES["agg_scalar"] = """
+SELECT max(l_quantity) AS max_qty,
+       min(l_quantity) AS min_qty,
+       sum(l_quantity) AS sum_qty,
+       sum(l_quantity) / count(l_quantity) AS avg_qty,
+       count(l_quantity) AS count_qty,
+       count(*) AS count_star
+FROM lineitem
+"""
+
+ORACLES["distinct_cols"] = (
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+)
+
+ORACLES["count_distinct"] = (
+    "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"
+)
+
+ORACLES["group_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["group_having"] = """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+"""
+
+ORACLES["rollup_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["order_by"] = """
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+FROM orders
+"""
+
+ORACLES["top_k"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+ORACLES["set_union"] = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+ORACLES["set_intersect"] = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+ORACLES["set_except"] = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+ORACLES["str_funcs"] = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substring(p_type, 1, 5) AS type_prefix,
+       p_brand || '#' || p_type AS brand_type,
+       trim('  pad  ') AS trimmed,
+       p_type LIKE 'PROMO%' AS is_promo,
+       replace(p_name, ' ', '_') AS name_snake
+FROM part
+"""
+
+ORACLES["date_funcs"] = """
+SELECT o_orderkey,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       dayofmonth(o_orderdate) AS o_day,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       strftime(o_orderdate, '%Y-%m') AS o_yearmonth
+FROM orders
+"""
+
+ORACLES["math_funcs"] = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1))
+            AS DOUBLE) AS price_tenth,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(ln(l_extendedprice), 4) AS price_ln,
+       round(power(l_quantity, 2), 4) AS qty_sq
+FROM lineitem
+"""
+
+ORACLES["case_when"] = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_resolved
+FROM orders
+"""
+
+ORACLES["array_funcs"] = """
+SELECT vec_id,
+       len(embedding) AS emb_dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(embedding[-1] AS DOUBLE) AS last_val,
+       label
+FROM embeddings
+"""
+
+ORACLES["json_funcs"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+ORACLES["win_rank"] = """
+SELECT o_orderkey, o_custkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+FROM orders
+"""
+
+ORACLES["win_lag"] = """
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS value_delta
+FROM events
+"""
+
+ORACLES["win_running_sum"] = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events
+"""
+
+ORACLES["win_tumbling"] = """
+SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["win_sliding"] = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts) - i * INTERVAL '6 hours',
+                '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type,
+       count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g
+GROUP BY 1, 2
+"""
+
+# Spark session_window(gap) ≡ gaps-and-islands: a new session starts when
+# the gap from the previous event is ≥ the session gap (session windows
+# are half-open [start, last+gap)).
+ORACLES["win_session"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT lang, count(*) AS n_unique_docs
+FROM (SELECT DISTINCT text, lang FROM documents)
+GROUP BY lang
+"""
+
+ORACLES["text_stats"] = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       length(text) AS text_len
+FROM documents WHERE lang = 'en'
+"""
+
+ORACLES["term_counts"] = """
+SELECT term, count(*) AS term_count
+FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents)
+GROUP BY term
+"""
+
+ORACLES["text_quality"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_filter(tk, t -> t IN ('the', 'a'))) AS n_stopwords,
+       round(CAST(len(list_filter(tk, t -> t IN ('the', 'a'))) AS DOUBLE)
+             / len(tk), 6) AS stop_ratio,
+       round(CAST(list_aggregate(list_transform(tk, t -> length(t)), 'sum')
+                  AS DOUBLE) / len(tk), 6) AS mean_token_len
+FROM toks
+"""
+
+ORACLES["dedup_ngram"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.6
+"""

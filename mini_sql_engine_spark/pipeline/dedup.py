@@ -1,0 +1,269 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, cheapest-first — the order a 100 TB pipeline runs them:
+
+1. ``exact_dedup`` — hash aggregate on the full text. One shuffle on
+   the text hash; map-side combine collapses duplicates early.
+2. ``ngram_jaccard_pairs`` — EXACT Jaccard over word-shingle sets via
+   an inverted index (shingle → docs) self-join. Quadratic in docs
+   *per shared shingle*, so only viable after blocking; it is the
+   ground truth the approximate tiers are validated against.
+3. ``minhash_lsh_candidates`` — MinHash signatures + banded LSH:
+   near-constant work per doc, one shuffle per band on the band key.
+   THE scale path: candidate recall is tunable via (bands, rows).
+4. ``simhash`` — 64-bit SimHash per doc; near-dups differ in few bits.
+
+Everything is Spark built-ins (xxhash64, higher-order array functions,
+hash-joins); no Python in the row path. Determinism: all hashes are
+seed-stable xxhash64 → results are reproducible across runs/cluster
+layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mini_sql_engine_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one canonical row per distinct text (deterministic: lowest
+    doc_id wins — unlike ``dropDuplicates``, which keeps an arbitrary
+    row and is therefore not reproducible across partitionings)."""
+    keep = docs.groupBy(text_col).agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, ["doc_id", text_col], "left_semi")
+
+
+def exact_dedup_counts(docs: DataFrame) -> DataFrame:
+    """Distinct-document counts per language (Qkey shape)."""
+    return (
+        docs.select("text", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique_docs"))
+    )
+
+
+def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index input."""
+    return (
+        docs.select("doc_id", F.explode(shingles(tokens("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, J ≥ t).
+
+    Inverted-index plan (no full cross join):
+    shingle→docs self-join gives co-occurring pairs; count of shared
+    shingles per pair = |A∩B|; |A∪B| = |A|+|B|−|A∩B|. All shuffles are
+    keyed (shingle, then pair), all aggregation has map-side combine.
+    Scale note: hot shingles create join fan-out — at real scale, drop
+    shingles with document-frequency above a cap first (they carry no
+    discriminative signal); the cap is exposed as ``max_df``.
+    """
+    ds = _doc_shingles(docs, n)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_capped(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6, max_df: int = 1000
+) -> DataFrame:
+    """Jaccard pairs with a document-frequency cap on shingles — the
+    form you run when the corpus is large enough that stop-shingles
+    would dominate the join. (Approximation: capped shingles are
+    excluded from both intersection and union counts.)"""
+    ds = _doc_shingles(docs, n)
+    rare = (
+        ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    ds = ds.join(rare, "shingle", "left_semi")
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = ds.alias("a"), ds.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document: for seed i, sig[i] = min over
+    shingles of xxhash64(shingle, i). Built-ins only — the per-seed min
+    is an array ``transform`` + ``array_min`` over the shingle array,
+    computed entirely within the row (no shuffle, no UDF)."""
+    sh = F.array_distinct(shingles(tokens("text"), n))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+    return docs.select("doc_id", F.when(F.size(sh) > 0, sig).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 3, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b).
+
+    Signature split into ``bands`` bands of r = num_hashes/bands rows;
+    docs agreeing on ALL rows of any band become candidates. Collision
+    probability ≈ 1−(1−J^r)^b — with 32/8 (r=4): J=0.6→61%, J=0.8→95%.
+    Plan: one exchange keyed by (band_id, band_hash) — the classic
+    LSH bucket-join — then pair expansion inside buckets only.
+    Skew guard: buckets larger than ``max_bucket`` (degenerate
+    all-same-band content) are dropped; at 100 TB a single hot bucket
+    otherwise quadratically dominates the stage.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes).filter(F.col("signature").isNotNull())
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), bi * r + 1, r),
+                                lambda h: h.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    max_bucket = 10_000
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    ).filter(F.col("bucket_n") <= max_bucket)
+    banded = banded.join(bucket_sizes.select("band_id", "band_hash"),
+                         ["band_id", "band_hash"], "left_semi")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: sum ±1 per bit over token hashes,
+    sign → bit. Near-duplicate docs land within a small Hamming
+    distance. Built-ins only: per-bit vote via higher-order functions.
+
+    Bit i of the result = 1 iff Σ_tokens sign(bit i of xxhash64(tok))
+    > 0. Computed as a 64-element vote array folded into one BIGINT.
+    """
+    # SQL-expression form: shiftright/shiftleft accept a column shift
+    # amount in SQL (the Python F.shiftright API is literal-only).
+    fp = F.expr(
+        f"""
+        aggregate(
+          transform(
+            sequence(0, 63),
+            i -> struct(
+              i AS i,
+              aggregate(
+                transform(filter(split({text_col}, ' '), t -> t != ''),
+                          t -> xxhash64(t)),
+                0,
+                (acc, h) -> acc + CASE WHEN (shiftright(h, i) & 1L) = 1L
+                                       THEN 1 ELSE -1 END
+              ) AS vote
+            )
+          ),
+          0L,
+          (acc, v) -> acc + CASE WHEN v.vote > 0
+                                 THEN shiftleft(1L, v.i) ELSE 0L END
+        )
+        """
+    )
+    return docs.select("doc_id", fp.alias("simhash"))
+
+
+def hamming_pairs(sim: DataFrame, max_distance: int = 8) -> DataFrame:
+    """Pairs of docs whose SimHash Hamming distance ≤ max_distance.
+
+    Blocking: split the 64-bit fingerprint into 4×16-bit chunks — any
+    pair within distance ≤ 3 must agree on ≥1 chunk (pigeonhole); for
+    larger budgets this is a recall-traded blocker, not exact. Join per
+    chunk on equality, then verify true distance with bit_count.
+    """
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> struct("
+                "  i AS chunk_id,"
+                "  shiftright(simhash, i * 16) & 65535L AS chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )

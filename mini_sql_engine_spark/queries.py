@@ -1,0 +1,552 @@
+"""Qkey bindings: SURVEY.md §2's operator inventory as (spark, sf_dir)
+→ DataFrame callables, composed from the operator/function/pipeline
+modules. Every computed column is aliased to match the oracle SQL in
+``mini_sql_engine_spark.oracles`` (driver hashes sort columns by name).
+
+Determinism rules applied throughout (SURVEY.md §7 risk list):
+- money sums via exact DECIMAL(18,2) aggregation (order-independent);
+- continuous doubles cast to DECIMAL(18,6) before summing;
+- libm-dependent funcs (ln/pow) rounded; IEEE-exact ops (+,−,×,÷,sqrt)
+  left raw;
+- every rank/top-k order includes a unique tie-break key;
+- timestamps in outputs formatted as strings or reduced to ints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mini_sql_engine_spark.catalog import Catalog
+from mini_sql_engine_spark.functions import text as TX
+from mini_sql_engine_spark.operators import (
+    aggregates as AG,
+    joins as J,
+    relational as R,
+    sets as S,
+    sorting as SO,
+    windows as W,
+)
+from mini_sql_engine_spark.pipeline import dedup as DD
+from mini_sql_engine_spark.pipeline import multimodal as MM
+from mini_sql_engine_spark.pipeline import similarity as SIM
+from mini_sql_engine_spark.streaming import event_windows as EW
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ───────────────────────── §2.1 scans ─────────────────────────
+
+
+def scan_table(spark, sf_dir):
+    """Full scan, SELECT * FROM lineitem (ref: whole-CSV load)."""
+    return R.scan(Catalog(spark, sf_dir).table("lineitem"))
+
+
+# ─────────────────── §2.2 project / filter ────────────────────
+
+
+def project_cols(spark, sf_dir):
+    return R.project(Catalog(spark, sf_dir).table("lineitem"),
+                     ["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+def project_expr(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return R.project_exprs(
+        li,
+        l_orderkey=F.col("l_orderkey"),
+        l_linenumber=F.col("l_linenumber"),
+        revenue=F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+    )
+
+
+def filter_cmp(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return R.project(
+        R.where(li, R.compare("l_quantity", ">", 30)),
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
+def filter_colcmp(spark, sf_dir):
+    """Column-vs-column comparison (ref supports both operand kinds)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return R.project(
+        R.where(li, R.compare("l_tax", ">", F.col("l_discount"))),
+        ["l_orderkey", "l_linenumber", "l_tax", "l_discount"],
+    )
+
+
+def filter_and(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return R.project(
+        R.where_all(li, R.compare("l_quantity", ">", 30),
+                    R.compare("l_discount", "<", 0.05)),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    )
+
+
+def filter_or(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return R.project(
+        R.where_any(li, R.compare("l_returnflag", "=", "R"),
+                    R.compare("l_quantity", "<=", 5)),
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+
+
+# ───────────────────────── §2.3 joins ─────────────────────────
+
+
+def cross_join(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    return J.cross_join(
+        cat.table("region").select("r_regionkey", "r_name"),
+        cat.table("nation").select("n_nationkey", "n_name"),
+    )
+
+
+def equi_join(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    return J.equi_join(
+        cat.table("orders"), cat.table("customer"),
+        on=F.col("o_custkey") == F.col("c_custkey"),
+        broadcast_right=True,
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def join3(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), cat.table("customer")
+    return (
+        J.equi_join(li, o, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice", "c_name")
+    )
+
+
+def theta_join(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    s, c = cat.table("supplier"), cat.table("customer")
+    cond = (F.col("s_nationkey") == F.col("c_nationkey")) & (
+        F.col("s_acctbal") < F.col("c_acctbal")
+    )
+    # equality part → hash join; inequality stays as join residual
+    return J.equi_join(c, s, on=cond, broadcast_right=True).select(
+        "s_suppkey", "c_custkey", "s_acctbal", "c_acctbal"
+    )
+
+
+def left_join(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    return J.equi_join(
+        cat.table("customer"),
+        cat.table("orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        on=F.col("c_custkey") == F.col("o_custkey"),
+        how="left",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+def semi_join(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    big_orders = cat.table("orders").filter(F.col("o_totalprice") > 400000)
+    return J.semi_join(
+        cat.table("customer"),
+        big_orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+def anti_join(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    return J.anti_join(
+        cat.table("customer"),
+        cat.table("orders").select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+# ─────────────────────── §2.4 aggregates ──────────────────────
+
+
+def agg_scalar(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    # avg spelled as sum/count on both sides: l_quantity is integer-valued
+    # so the double sum is exact → the division is engine-independent.
+    return li.agg(
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        F.count("l_quantity").alias("count_qty"),
+        F.count(F.lit(1)).alias("count_star"),
+    )
+
+
+def distinct_cols(spark, sf_dir):
+    return AG.distinct_rows(Catalog(spark, sf_dir).table("orders"),
+                            ["o_orderstatus", "o_orderpriority"])
+
+
+def count_distinct(spark, sf_dir):
+    return AG.count_distinct(Catalog(spark, sf_dir).table("lineitem"),
+                             "l_partkey", "n_parts")
+
+
+def group_agg(spark, sf_dir):
+    """Flagship: TPC-H Q1-style pricing summary. Exact decimal sums →
+    order-independent, engine-exact results."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def group_having(spark, sf_dir):
+    o = Catalog(spark, sf_dir).table("orders")
+    g = AG.group_agg(
+        o, ["o_custkey"],
+        F.count(F.lit(1)).alias("n_orders"),
+        AG.exact_sum("o_totalprice", "total_spend"),
+    )
+    return AG.having(g, F.col("n_orders") >= 12)
+
+
+def rollup_agg(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return AG.rollup_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ──────────────────── §2.5 sort / limit ───────────────────────
+
+
+def order_by(spark, sf_dir):
+    """Total order verified through an attached position column (the
+    driver's hash is order-insensitive, so the order is encoded as
+    data)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    ranked = SO.with_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        F.col("o_totalprice").desc(), F.col("o_orderkey"),
+    )
+    return ranked.withColumn("pos", F.col("pos").cast("long"))
+
+
+def top_k(spark, sf_dir):
+    o = Catalog(spark, sf_dir).table("orders")
+    return SO.top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        10, F.col("o_totalprice").desc(), F.col("o_orderkey"),
+    )
+
+
+# ─────────────────────── §2.6 set ops ─────────────────────────
+
+
+def _nationkeys(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c, s
+
+
+def set_union(spark, sf_dir):
+    c, s = _nationkeys(spark, sf_dir)
+    return S.union_distinct(c, s)
+
+
+def set_intersect(spark, sf_dir):
+    c, s = _nationkeys(spark, sf_dir)
+    return S.intersect(c.distinct(), s.distinct())
+
+
+def set_except(spark, sf_dir):
+    c, s = _nationkeys(spark, sf_dir)
+    return S.except_(c, s)
+
+
+# ──────────────────── §2.7 scalar functions ───────────────────
+
+
+def str_funcs(spark, sf_dir):
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+def date_funcs(spark, sf_dir):
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.datediff(F.lit("2000-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).cast("long").alias("days_to_y2k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_yearmonth"),
+    )
+
+
+def math_funcs(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # decimal×decimal is exact — double round() at half-boundaries
+        # diverges between engines (Java shortest-repr vs C-style)
+        (F.col("l_extendedprice").cast("decimal(12,2)")
+         * F.lit("0.1").cast("decimal(2,1)")).cast("double").alias("price_tenth"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+    )
+
+
+def case_when(spark, sf_dir):
+    o = Catalog(spark, sf_dir).table("orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.select(
+        "o_orderkey",
+        bucket.alias("price_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                   F.lit("open")).alias("status_resolved"),
+    )
+
+
+def array_funcs(spark, sf_dir):
+    e = Catalog(spark, sf_dir).table("embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("emb_dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", -1).cast("double").alias("last_val"),
+        "label",
+    )
+
+
+def json_funcs(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ───────────────────── §2.8 window funcs ──────────────────────
+
+
+def win_rank(spark, sf_dir):
+    o = Catalog(spark, sf_dir).table("orders")
+    w_val = W.spec(["o_custkey"], [F.col("o_totalprice").desc()])
+    w_uniq = W.spec(["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")])
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w_uniq).cast("long").alias("rn"),
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.dense_rank().over(w_val).cast("long").alias("drnk"),
+    )
+
+
+def win_lag(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).table("events")
+    w = W.spec(["user_id"], [F.col("ts"), F.col("event_id")])
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+def win_running_sum(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).table("events")
+    w = W.spec(["user_id"], [F.col("ts"), F.col("event_id")]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+# ─────────────── §2.9 event-time windows (batch) ──────────────
+
+
+def win_tumbling(spark, sf_dir):
+    return EW.tumbling_counts(Catalog(spark, sf_dir).table("events"))
+
+
+def win_sliding(spark, sf_dir):
+    return EW.sliding_counts(Catalog(spark, sf_dir).table("events"))
+
+
+def win_session(spark, sf_dir):
+    return EW.session_counts(Catalog(spark, sf_dir).table("events"))
+
+
+# ────────────── §2.10 LLM-pipeline operators ──────────────────
+
+
+def dedup_exact(spark, sf_dir):
+    return DD.exact_dedup_counts(Catalog(spark, sf_dir).table("documents"))
+
+
+def dedup_ngram(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs — hash-checkable ground truth."""
+    return DD.ngram_jaccard_pairs(Catalog(spark, sf_dir).table("documents"),
+                                  n=3, threshold=0.6)
+
+
+def dedup_near(spark, sf_dir):
+    """MinHash-LSH candidates — rows-only (validated vs exact Jaccard
+    in tests)."""
+    return DD.minhash_lsh_candidates(Catalog(spark, sf_dir).table("documents"))
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 8) — rows-only."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return DD.hamming_pairs(DD.simhash(docs), max_distance=8)
+
+
+def dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — rows-only (numpy oracle in
+    tests)."""
+    return SIM.cosine_dup_pairs(Catalog(spark, sf_dir).table("embeddings"),
+                                threshold=0.5, exact=True)
+
+
+def sim_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 10 —
+    rows-only (numpy oracle in tests)."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    return SIM.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=10)
+
+
+def sim_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-k — rows-only (recall vs brute
+    force in tests)."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=10, n_planes=4)
+
+
+def text_stats(spark, sf_dir):
+    return TX.text_stats(Catalog(spark, sf_dir).table("documents"), lang="en")
+
+
+def term_counts(spark, sf_dir):
+    return TX.term_counts(Catalog(spark, sf_dir).table("documents"))
+
+
+def text_quality(spark, sf_dir):
+    return TX.quality_features(Catalog(spark, sf_dir).table("documents"))
+
+
+def lang_id(spark, sf_dir):
+    """Heuristic language ID — rows-only (accuracy fixture in tests)."""
+    return TX.lang_id(Catalog(spark, sf_dir).table("documents"))
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints — rows-only (determinism tests)."""
+    return TX.doc_fingerprints(Catalog(spark, sf_dir).table("documents"))
+
+
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction via mapInPandas — rows-only."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    feats = MM.extract_features(MM.synthesize_media(docs), fake_decode=True)
+    return feats.select("media_id", "n_bytes", "payload_hash",
+                        F.element_at("feature", 1).cast("double").alias("f0"))
+
+
+QUERIES: dict[str, QueryFn] = {
+    "scan_table": scan_table,
+    "project_cols": project_cols,
+    "project_expr": project_expr,
+    "filter_cmp": filter_cmp,
+    "filter_colcmp": filter_colcmp,
+    "filter_and": filter_and,
+    "filter_or": filter_or,
+    "cross_join": cross_join,
+    "equi_join": equi_join,
+    "join3": join3,
+    "theta_join": theta_join,
+    "left_join": left_join,
+    "semi_join": semi_join,
+    "anti_join": anti_join,
+    "agg_scalar": agg_scalar,
+    "distinct_cols": distinct_cols,
+    "count_distinct": count_distinct,
+    "group_agg": group_agg,
+    "group_having": group_having,
+    "rollup_agg": rollup_agg,
+    "order_by": order_by,
+    "top_k": top_k,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "str_funcs": str_funcs,
+    "date_funcs": date_funcs,
+    "math_funcs": math_funcs,
+    "case_when": case_when,
+    "array_funcs": array_funcs,
+    "json_funcs": json_funcs,
+    "win_rank": win_rank,
+    "win_lag": win_lag,
+    "win_running_sum": win_running_sum,
+    "win_tumbling": win_tumbling,
+    "win_sliding": win_sliding,
+    "win_session": win_session,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram": dedup_ngram,
+    "dedup_near": dedup_near,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embed": dedup_embed,
+    "sim_topk": sim_topk,
+    "sim_ann": sim_ann,
+    "text_stats": text_stats,
+    "term_counts": term_counts,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_features": multimodal_features,
+}
