@@ -451,7 +451,7 @@ def dedup_embed(spark, sf_dir):
     """Embedding-cosine near-dup pairs — rows-only (numpy oracle in
     tests)."""
     return SIM.cosine_dup_pairs(Catalog(spark, sf_dir).table("embeddings"),
-                                threshold=0.5, exact=True)
+                                threshold=0.4, exact=True)
 
 
 def sim_topk(spark, sf_dir):
@@ -465,7 +465,8 @@ def sim_ann(spark, sf_dir):
     """LSH-bucketed approximate top-k — rows-only (recall vs brute
     force in tests)."""
     e = Catalog(spark, sf_dir).table("embeddings")
-    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=10, n_planes=4)
+    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=10,
+                        n_planes=4, n_tables=4)
 
 
 def text_stats(spark, sf_dir):

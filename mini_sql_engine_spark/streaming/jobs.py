@@ -21,11 +21,14 @@ from mini_sql_engine_spark.streaming import event_windows
 def stream_events(spark: SparkSession, events_dir: str, max_files: int = 1) -> DataFrame:
     """File-source stream over an events parquet directory (schema from
     the catalog — streaming sources require explicit schemas)."""
-    return (
+    stream = (
         spark.readStream.schema(TABLE_SCHEMAS["events"])
         .option("maxFilesPerTrigger", max_files)
         .parquet(events_dir)
     )
+    # watermarks require TIMESTAMP (with local tz); session tz is UTC so
+    # the wall-clock values are unchanged
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(

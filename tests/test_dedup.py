@@ -1,0 +1,109 @@
+"""Python/numpy oracles for the dedup tiers (rows-only Qkeys
+dedup_near / dedup_simhash) + determinism properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_sql_engine_spark.catalog import Catalog
+from mini_sql_engine_spark.pipeline import dedup as DD
+
+from tests.conftest import SF_SMOKE
+
+
+def py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in text.split(" ") if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_local(spark):
+    return {
+        r.doc_id: r.text
+        for r in Catalog(spark, SF_SMOKE).table("documents").collect()
+    }
+
+
+def test_ngram_jaccard_matches_python_oracle(spark, docs_local):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            Catalog(spark, SF_SMOKE).table("documents"), n=3, threshold=0.6
+        ).collect()
+    }
+    expect = {}
+    items = sorted(docs_local.items())
+    sh = {d: py_shingles(t) for d, t in items}
+    for i, (da, _) in enumerate(items):
+        for db, _ in items[i + 1:]:
+            a, b = sh[da], sh[db]
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if round(j, 6) >= 0.6:
+                expect[(da, db)] = round(j, 6)
+    assert got == expect
+
+
+def test_minhash_lsh_recall_against_exact(spark, docs_local):
+    """LSH candidates must recover most truly-similar pairs (J ≥ 0.8 →
+    collision prob ≈ 95% per the 32/8 banding curve) and the candidate
+    set must stay far below the quadratic pair count."""
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_candidates(docs, n=3, num_hashes=32, bands=8).collect()
+    }
+    items = sorted(docs_local.items())
+    sh = {d: py_shingles(t) for d, t in items}
+    high = {
+        (da, db)
+        for i, (da, _) in enumerate(items)
+        for db, _ in items[i + 1:]
+        if sh[da] and sh[db]
+        and len(sh[da] & sh[db]) / len(sh[da] | sh[db]) >= 0.8
+    }
+    if high:
+        recall = len(high & cands) / len(high)
+        assert recall >= 0.8, f"minhash recall {recall:.2f}"
+    n = len(items)
+    assert len(cands) < n * (n - 1) / 4, "candidate set should prune most pairs"
+
+
+def test_minhash_deterministic(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    s1 = {(r.doc_id, tuple(r.signature))
+          for r in DD.minhash_signatures(docs).collect()}
+    s2 = {(r.doc_id, tuple(r.signature))
+          for r in DD.minhash_signatures(docs.repartition(7)).collect()}
+    assert s1 == s2, "signatures must not depend on partitioning"
+
+
+def test_simhash_properties(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    fp = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
+    # deterministic across partitionings
+    fp2 = {r.doc_id: r.simhash for r in DD.simhash(docs.repartition(5)).collect()}
+    assert fp == fp2
+    # identical text ⇒ identical fingerprint (token-bag property)
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    fp_dup = DD.simhash(docs.limit(1).union(dup)).collect()
+    assert fp_dup[0].simhash == fp_dup[1].simhash
+
+
+def test_exact_dedup_keeps_lowest_doc_id(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents").limit(3)
+    clone = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    out = DD.exact_dedup(docs.union(clone))
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == sorted(r.doc_id for r in docs.collect())
+
+
+def test_hamming_pairs_self_distance_zero(spark):
+    docs = Catalog(spark, SF_SMOKE).table("documents").limit(5)
+    clone = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    pairs = DD.hamming_pairs(DD.simhash(docs.union(clone)), max_distance=0).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    expect = {(r.doc_id, r.doc_id + 1000) for r in docs.collect()}
+    assert expect <= got

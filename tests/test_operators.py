@@ -1,0 +1,103 @@
+"""Per-operator unit tests on tiny inline DataFrames: empty inputs,
+nulls (the engine is a superset of the null-free reference), duplicate
+rows, partitioning-invariance (SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_sql_engine_spark.operators import (
+    aggregates as AG,
+    joins as J,
+    relational as R,
+    sets as S,
+    sorting as SO,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_filter_with_nulls(spark):
+    df = _df(spark, [(1, 10), (2, None), (3, 40)], "id long, v long")
+    got = {r.id for r in R.where(df, R.compare("v", ">", 15)).collect()}
+    assert got == {3}  # null comparisons are NULL → filtered out (ANSI)
+
+
+def test_where_any_empty_predicates_is_identity(spark):
+    df = _df(spark, [(1,), (2,)], "id long")
+    assert R.where_any(df).count() == 2
+
+
+def test_scalar_aggs_empty_input(spark):
+    df = _df(spark, [], "id long, v double")
+    row = AG.scalar_aggs(df, "v").collect()[0]
+    assert row["count_v"] == 0 and row["count_star"] == 0
+    assert row["max_v"] is None and row["sum_v"] is None
+
+
+def test_group_agg_null_keys_form_a_group(spark):
+    df = _df(spark, [("a", 1), (None, 2), (None, 3)], "k string, v long")
+    got = {r.k: r.s for r in
+           AG.group_agg(df, ["k"], F.sum("v").alias("s")).collect()}
+    assert got == {"a": 1, None: 5}
+
+
+def test_distinct_on_duplicate_rows(spark):
+    df = _df(spark, [(1, "x")] * 5 + [(2, "y")], "id long, s string")
+    assert AG.distinct_rows(df).count() == 2
+
+
+def test_exact_sum_partitioning_invariant(spark):
+    rows = [(i, 0.01 + i) for i in range(1000)]
+    df = _df(spark, rows, "id long, v double")
+    one = df.coalesce(1).agg(AG.exact_sum("v", "s")).collect()[0].s
+    many = df.repartition(13).agg(AG.exact_sum("v", "s")).collect()[0].s
+    assert one == many  # decimal aggregation is order-independent
+
+
+def test_joins_tiny(spark):
+    a = _df(spark, [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    b = _df(spark, [(2, 20.0), (3, 30.0), (3, 33.0)], "k long, v double")
+    assert J.equi_join(a, b, "k").count() == 3
+    assert J.semi_join(a, b, "k").count() == 2          # no duplication
+    assert {r.k for r in J.anti_join(a, b, "k").collect()} == {1}
+    left = J.equi_join(a, b, "k", how="left")
+    assert left.count() == 4
+    assert J.cross_join(a, b).count() == 9
+
+
+def test_theta_join_pure_inequality(spark):
+    a = _df(spark, [(1,), (5,)], "x long")
+    b = _df(spark, [(3,), (4,)], "y long")
+    got = {(r.x, r.y) for r in
+           J.theta_join(a, b, F.col("x") < F.col("y")).collect()}
+    assert got == {(1, 3), (1, 4)}
+
+
+def test_set_ops_bag_vs_set_semantics(spark):
+    a = _df(spark, [(1,), (1,), (2,)], "x long")
+    b = _df(spark, [(1,), (3,)], "x long")
+    assert S.union_all(a, b).count() == 5
+    assert S.union_distinct(a, b).count() == 3
+    assert {r.x for r in S.intersect(a, b).collect()} == {1}
+    assert S.intersect_all(a, b).count() == 1
+    assert {r.x for r in S.except_(a, b).collect()} == {2}
+    assert sorted(r.x for r in S.except_all(a, b).collect()) == [1, 2]
+
+
+def test_top_k_deterministic_ties(spark):
+    df = _df(spark, [(1, 5.0), (2, 5.0), (3, 5.0), (4, 1.0)], "id long, v double")
+    got = [r.id for r in
+           SO.top_k(df, 2, F.col("v").desc(), F.col("id")).collect()]
+    assert got == [1, 2]
+
+
+def test_rollup_includes_grand_total(spark):
+    df = _df(spark, [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+             "k1 string, k2 string, v long")
+    rows = AG.rollup_agg(df, ["k1", "k2"], F.sum("v").alias("s")).collect()
+    total = [r for r in rows if r.k1 is None and r.k2 is None]
+    assert len(total) == 1 and total[0].s == 6
+    assert len(rows) == 3 + 2 + 1

@@ -1,0 +1,80 @@
+"""Plan-quality gates — the 100 TB discipline, asserted on explain output:
+filters/projections reach the parquet scan, small dims broadcast, sims
+stay JVM-side (no Python row UDFs in relational paths), partial
+aggregation present. These are the properties that keep the same plans
+viable at 1000 executors (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from mini_sql_engine_spark import queries as Q
+
+from tests.conftest import SF_SMOKE
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    p = formatted(Q.filter_cmp(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in p, p
+
+
+def test_projection_prunes_scan_columns(spark):
+    p = formatted(Q.project_cols(spark, SF_SMOKE))
+    # ReadSchema must carry only the 3 projected columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_equi_join_broadcasts_dimension(spark):
+    p = plan(Q.equi_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_join3_no_cartesian(spark):
+    p = plan(Q.join3(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_theta_join_keeps_hash_join_for_equality_part(spark):
+    """The mixed equality+inequality condition must compile to a hash
+    join with the inequality as residual — not a nested-loop join."""
+    p = plan(Q.theta_join(spark, SF_SMOKE))
+    assert "HashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_group_agg_has_partial_aggregation(spark):
+    p = plan(Q.group_agg(spark, SF_SMOKE))
+    assert "partial_" in p, "map-side combine missing"
+
+
+def test_relational_queries_have_no_python_udfs(spark):
+    for qkey in ["scan_table", "filter_cmp", "group_agg", "equi_join",
+                 "win_rank", "win_tumbling", "dedup_exact", "term_counts",
+                 "dedup_ngram", "sim_topk"]:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey} uses a row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey} unexpectedly crosses to Python"
+
+
+def test_whole_stage_codegen_active_on_flagship(spark):
+    df = Q.group_agg(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes THIS query's plan only when it executes
+    p = plan(df)
+    assert "isFinalPlan=true" in p
+    # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
+    assert re.search(r"\*\(\d+\)\s*HashAggregate", p), p[:800]

@@ -1,0 +1,64 @@
+"""Reference-native CSV+metadata.txt compat source tests (FIXTURES.md §A)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_sql_engine_spark.sources.csv_metadata import (
+    RefCatalog,
+    load_ref_table,
+    register_ref_tables,
+)
+
+META = """<begin_table>
+table1
+A
+B
+C
+<end_table>
+<begin_table>
+table2
+B
+D
+<end_table>
+"""
+
+
+@pytest.fixture()
+def ref_dir(tmp_path):
+    (tmp_path / "metadata.txt").write_text(META)
+    (tmp_path / "table1.csv").write_text('1,2,3\n4,"5",6\n')
+    (tmp_path / "table2.csv").write_text('2,200\n5,500\n9,900\n')
+    return str(tmp_path)
+
+
+def test_parse_metadata(ref_dir):
+    cat = RefCatalog.parse(f"{ref_dir}/metadata.txt")
+    assert cat.tables == {"table1": ["A", "B", "C"], "table2": ["B", "D"]}
+    assert [f.dataType.simpleString() for f in cat.schema("table1").fields] == [
+        "bigint", "bigint", "bigint"
+    ]
+    with pytest.raises(KeyError):
+        cat.schema("nope")
+
+
+def test_malformed_metadata(tmp_path):
+    (tmp_path / "metadata.txt").write_text("<begin_table>\nt1\nA\n")  # no end
+    with pytest.raises(ValueError, match="missing"):
+        RefCatalog.parse(str(tmp_path / "metadata.txt"))
+
+
+def test_load_and_query_ref_tables(spark, ref_dir):
+    t1 = load_ref_table(spark, ref_dir, "table1")
+    rows = sorted(tuple(r) for r in t1.collect())
+    assert rows == [(1, 2, 3), (4, 5, 6)]  # quoted "5" parsed as integer
+
+    register_ref_tables(spark, ref_dir)
+    # the reference's flagship query shape: join via WHERE equality
+    out = spark.sql(
+        "SELECT table1.A, table2.D FROM table1, table2 WHERE table1.B = table2.B"
+    ).collect()
+    assert sorted(tuple(r) for r in out) == [(1, 200), (4, 500)]
+    # aggregate shape
+    agg = spark.sql("SELECT MAX(B), MIN(B), SUM(B), AVG(B), COUNT(B) FROM table2")
+    assert tuple(agg.collect()[0]) == (9, 2, 16, 16 / 3, 3)

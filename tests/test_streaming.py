@@ -1,0 +1,50 @@
+"""Structured Streaming parity: the same window transformations must
+produce identical results via readStream+availableNow as in batch
+(SURVEY.md §2.9 stretch — true streaming path)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_sql_engine_spark.catalog import Catalog
+from mini_sql_engine_spark.streaming import event_windows as EW
+from mini_sql_engine_spark.streaming import jobs
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Re-write events as a multi-file parquet dir (µs timestamps) so the
+    file-source stream replays it in several triggers."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    Catalog(spark, SF_SMOKE).table("events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _batch_events(spark, events_stream_dir):
+    return spark.read.parquet(events_stream_dir)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream_dir):
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    got = jobs.run_to_memory(
+        spark, jobs.streaming_tumbling_counts(stream), "tumbling_mem"
+    )
+    expect = EW.tumbling_counts(_batch_events(spark, events_stream_dir))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_streaming_session_equals_batch(spark, events_stream_dir):
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    got = jobs.run_to_memory(
+        spark, jobs.streaming_session_counts(stream), "session_mem"
+    )
+    expect = EW.session_counts(_batch_events(spark, events_stream_dir))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
