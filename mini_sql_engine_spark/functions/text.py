@@ -31,6 +31,21 @@ def tokens(text_col: str | Column = "text") -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and pass the VALUE to ``fn`` as a
+    higher-order-function lambda variable.
+
+    Inside one projection, every reference to an expression re-runs
+    its whole tree — HOF lambdas execute interpreted (no codegen
+    subexpression elimination), so e.g. ``element_at(tokens(text), i)``
+    re-splits the document on every element access. Binding through a
+    single-element ``transform`` makes all downstream references cheap
+    array reads. (Measured on shingling: ~10× — the n ``element_at``
+    calls per shingle each re-tokenized the full document.)
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def token_count(text_col: str | Column = "text") -> Column:
     return F.size(tokens(text_col))
 
@@ -40,11 +55,14 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
     UDF): for each start index i, join tokens[i:i+n] with spaces.
     Documents shorter than ``n`` tokens yield an empty array.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(-1)))
-    return F.when(F.size(tok_col) >= n,
-                  F.transform(idx, lambda i: F.concat_ws(
-                      " ", *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(n)]
-                  ))).otherwise(F.array().cast("array<string>"))
+    def build(tok: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1)))
+        return F.when(F.size(tok) >= n,
+                      F.transform(idx, lambda i: F.concat_ws(
+                          " ", *[F.element_at(tok, (i + j + 1).cast("int")) for j in range(n)]
+                      ))).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tok_col, build)
 
 
 def text_stats(docs: DataFrame, lang: str | None = None) -> DataFrame:
@@ -90,19 +108,28 @@ def quality_features(docs: DataFrame, stop_terms: tuple[str, ...] = ("the", "a")
     mean token length. All integer/rational arithmetic (deterministic
     across engines); the ratio is a single double division.
     """
-    toks = tokens("text")
     stop_arr = F.array(*[F.lit(t) for t in stop_terms])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    tok_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
-    )
+
+    def feats(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        tok_chars = F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+        )
+        return F.struct(
+            n_tok.cast("long").alias("n_tokens"),
+            n_stop.cast("long").alias("n_stopwords"),
+            F.round(n_stop.cast("double") / n_tok, 6).alias("stop_ratio"),
+            F.round(tok_chars.cast("double") / n_tok, 6).alias("mean_token_len"),
+        )
+
+    # two-step select: the struct alias is non-cheap and referenced 4×,
+    # so CollapseProject keeps the barrier → one evaluation per row
     return docs.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        n_stop.cast("long").alias("n_stopwords"),
-        F.round(n_stop.cast("double") / n_tok, 6).alias("stop_ratio"),
-        F.round(tok_chars.cast("double") / n_tok, 6).alias("mean_token_len"),
+        "doc_id", bind_once(tokens("text"), feats).alias("_f")
+    ).select(
+        "doc_id", "_f.n_tokens", "_f.n_stopwords",
+        "_f.stop_ratio", "_f.mean_token_len",
     )
 
 
@@ -115,9 +142,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     exercised for plumbing/determinism, not accuracy — see tests for a
     fixture where the markers actually discriminate.)
     """
-    toks = tokens("text")
-
-    def marker_score(code: str) -> Column:
+    def marker_score(toks: Column, code: str) -> Column:
         arr = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
@@ -125,16 +150,21 @@ def lang_id(docs: DataFrame) -> DataFrame:
     # assigned so that on equal scores the alphabetically-first code has
     # the HIGHER rank and wins the array_max — a total, deterministic order.
     lang_rank = {code: i for i, code in enumerate(sorted(LANG_MARKERS, reverse=True))}
-    ranked = [
-        F.struct(
-            marker_score(code).alias("score"),
-            F.lit(lang_rank[code]).alias("rank"),
-            F.lit(code).alias("code"),
-        )
-        for code in sorted(LANG_MARKERS)
-    ]
-    best = F.array_max(F.array(*ranked))
-    return docs.select("doc_id", "lang", best["code"].alias("lang_pred"))
+
+    def best(toks: Column) -> Column:
+        ranked = [
+            F.struct(
+                marker_score(toks, code).alias("score"),
+                F.lit(lang_rank[code]).alias("rank"),
+                F.lit(code).alias("code"),
+            )
+            for code in sorted(LANG_MARKERS)
+        ]
+        return F.array_max(F.array(*ranked))["code"]
+
+    return docs.select(
+        "doc_id", "lang", bind_once(tokens("text"), best).alias("lang_pred")
+    )
 
 
 def doc_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:

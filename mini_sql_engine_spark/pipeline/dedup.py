@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mini_sql_engine_spark.functions.text import shingles, tokens
+from mini_sql_engine_spark.plans import materialized
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,7 +67,9 @@ def ngram_jaccard_pairs(
     shingles with document-frequency above a cap first (they carry no
     discriminative signal); the cap is exposed as ``max_df``.
     """
-    ds = _doc_shingles(docs, n)
+    # the inverted index feeds three consumers (sizes, both join
+    # sides) — materialize it once
+    ds = materialized(_doc_shingles(docs, n))
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = ds.alias("a")
@@ -142,13 +145,15 @@ def minhash_band_hashes(
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) rows — the LSH bucket keys.
 
-    Exploded-row plan (NOT nested-array expressions): each stage
-    materializes exactly once through a keyed shuffle. Nested
-    higher-order-function formulations get re-inlined by Catalyst into
-    every consumer, recomputing the shingle hashing dozens of times —
-    measured 30× slower at sf0.1. The exploded shape is also the
-    100 TB shape: every shuffle is keyed and min/concat aggregation is
-    algebraic, so map-side combine collapses each task's rows first.
+    Plan: ONE keyed shuffle builds each doc's distinct shingle set
+    (``collect_set`` dedups map-side), then all ``num_hashes``
+    minhashes are a single per-row expression over that *data* array —
+    hashes computed exactly once, no seed×shingle row explosion. A
+    ``posexplode`` generator barrier hands (doc, seed, minh) rows to
+    the band aggregation; without the barrier Catalyst would re-inline
+    the signature expression into every band. Seed-row explosion
+    (seeds × shingles through a shuffle) measured 3× slower; nested
+    HOFs without barriers measured 30× slower at sf0.1.
 
     Per (doc, seed): minhash = min over shingles of xxhash64(shingle,
     seed); per (doc, band of r=num_hashes/bands seeds): band_hash =
@@ -157,14 +162,18 @@ def minhash_band_hashes(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    ds = _doc_shingles(docs, n)
-    seeded = ds.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
+    sets = (
+        docs.select("doc_id",
+                    F.explode(shingles(tokens("text"), n)).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
     )
-    minhashes = seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.xxhash64("shingle", "seed")).alias("minh")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))),
+    )
+    minhashes = sets.select(
+        "doc_id", F.posexplode(sig).alias("seed", "minh")
     )
     return (
         minhashes.withColumn("band_id", (F.col("seed") / r).cast("int"))
@@ -198,7 +207,10 @@ def minhash_lsh_candidates(
     all-same-band content) are dropped; at 100 TB a single hot bucket
     otherwise quadratically dominates the stage.
     """
-    banded = minhash_band_hashes(docs, n, num_hashes, bands)
+    # one row per (doc, band) — tiny vs the shingle pipeline that
+    # produces it; materialize so the three consumers below (bucket
+    # census, semi-join, pair self-join) don't each re-run it
+    banded = materialized(minhash_band_hashes(docs, n, num_hashes, bands))
     small_buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -226,29 +238,28 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     distance. Built-ins only: per-bit vote via higher-order functions.
 
     Bit i of the result = 1 iff Σ_tokens sign(bit i of xxhash64(tok))
-    > 0. Computed as a 64-element vote array folded into one BIGINT.
+    > 0. Computed as a 64-element vote-array accumulator folded once
+    per token — the token-hash array is the aggregate's input, so each
+    token is split/hashed exactly once per row. (The bit-outer
+    formulation — one aggregate per bit — re-evaluates the tokenizer
+    and hashes 64× per document; measured ~15× slower.) Shuffle-free:
+    the whole fingerprint is a per-row expression.
     """
     # SQL-expression form: shiftright/shiftleft accept a column shift
     # amount in SQL (the Python F.shiftright API is literal-only).
     fp = F.expr(
         f"""
         aggregate(
-          transform(
-            sequence(0, 63),
-            i -> struct(
-              i AS i,
-              aggregate(
-                transform(filter(split({text_col}, ' '), t -> t != ''),
-                          t -> xxhash64(t)),
-                0,
-                (acc, h) -> acc + CASE WHEN (shiftright(h, i) & 1L) = 1L
-                                       THEN 1 ELSE -1 END
-              ) AS vote
-            )
-          ),
-          0L,
-          (acc, v) -> acc + CASE WHEN v.vote > 0
-                                 THEN shiftleft(1L, v.i) ELSE 0L END
+          transform(filter(split({text_col}, ' '), t -> t != ''),
+                    t -> xxhash64(t)),
+          array_repeat(0, 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, i) -> a + CASE WHEN (shiftright(h, i) & 1L) = 1L
+                                              THEN 1 ELSE -1 END),
+          acc -> aggregate(
+            zip_with(acc, sequence(0, 63),
+                     (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
+            0L, (s, x) -> s + x)
         )
         """
     )
@@ -262,7 +273,12 @@ def hamming_pairs(sim: DataFrame, max_distance: int = 8) -> DataFrame:
     pair within distance ≤ 3 must agree on ≥1 chunk (pigeonhole); for
     larger budgets this is a recall-traded blocker, not exact. Join per
     chunk on equality, then verify true distance with bit_count.
+
+    The fingerprint table is materialized before the self-join: it is
+    ~100× smaller than the documents it derives from, and without the
+    barrier each join branch re-runs the whole hash pipeline.
     """
+    sim = materialized(sim)
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -288,6 +304,8 @@ def hamming_pairs(sim: DataFrame, max_distance: int = 8) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             dist.alias("hamming"),
         )
-        .distinct()
+        # distance filter BEFORE the dedup shuffle: failing candidates
+        # never enter the exchange
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )
