@@ -62,3 +62,24 @@ def test_load_and_query_ref_tables(spark, ref_dir):
     # aggregate shape
     agg = spark.sql("SELECT MAX(B), MIN(B), SUM(B), AVG(B), COUNT(B) FROM table2")
     assert tuple(agg.collect()[0]) == (9, 2, 16, 16 / 3, 3)
+
+
+def test_cli_front_door(spark, ref_dir, capsys):
+    """End-to-end reference UX: SQL string in, table.col header +
+    comma-separated rows out."""
+    from mini_sql_engine_spark.__main__ import run
+
+    assert run("SELECT A, C FROM table1 WHERE A > 2", ref_dir, spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "table1.A,table1.C"
+    assert out[1:] == ["4,6"]
+
+    # ambiguous bare column (B is in both tables) stays unqualified
+    assert run("SELECT table2.B, D FROM table2 WHERE D >= 500", ref_dir, spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "B,table2.D"
+    assert sorted(out[1:]) == ["5,500", "9,900"]
+
+    # reference-style error path: unknown table -> exit 1, error on stderr
+    assert run("SELECT x FROM nope", ref_dir, spark) == 1
+    assert "error:" in capsys.readouterr().err
