@@ -133,6 +133,39 @@ SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qt
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+ORACLES["cube_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["pivot_agg"] = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS spend_f,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS spend_o,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS spend_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["percentiles"] = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["set_intersect_all"] = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+"""
+
+ORACLES["set_except_all"] = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+"""
+
 ORACLES["order_by"] = """
 SELECT o_orderkey, o_totalprice,
        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos

@@ -238,6 +238,44 @@ def rollup_agg(spark, sf_dir):
     )
 
 
+def cube_agg(spark, sf_dir):
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return AG.cube_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def pivot_agg(spark, sf_dir):
+    """Pivot: order counts + exact spend per priority × status. The
+    status domain is declared explicitly — at scale an undeclared
+    pivot triggers a full distinct-scan planning pass."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(AG.exact_sum("o_totalprice", "spend"))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("spend_f"),
+            F.col("O").alias("spend_o"),
+            F.col("P").alias("spend_p"),
+        )
+    )
+
+
+def percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group — Spark
+    ``percentile``; DuckDB twin is ``quantile_cont``."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+    )
+
+
 # ──────────────────── §2.5 sort / limit ───────────────────────
 
 
@@ -284,6 +322,18 @@ def set_intersect(spark, sf_dir):
 def set_except(spark, sf_dir):
     c, s = _nationkeys(spark, sf_dir)
     return S.except_(c, s)
+
+
+def set_intersect_all(spark, sf_dir):
+    """Bag-semantics intersect (duplicates kept up to min multiplicity)."""
+    c, s = _nationkeys(spark, sf_dir)
+    return S.intersect_all(c, s)
+
+
+def set_except_all(spark, sf_dir):
+    """Bag-semantics difference (multiplicities subtract)."""
+    c, s = _nationkeys(spark, sf_dir)
+    return S.except_all(c, s)
 
 
 # ──────────────────── §2.7 scalar functions ───────────────────
@@ -520,11 +570,16 @@ QUERIES: dict[str, QueryFn] = {
     "group_agg": group_agg,
     "group_having": group_having,
     "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "pivot_agg": pivot_agg,
+    "percentiles": percentiles,
     "order_by": order_by,
     "top_k": top_k,
     "set_union": set_union,
     "set_intersect": set_intersect,
     "set_except": set_except,
+    "set_intersect_all": set_intersect_all,
+    "set_except_all": set_except_all,
     "str_funcs": str_funcs,
     "date_funcs": date_funcs,
     "math_funcs": math_funcs,

@@ -48,3 +48,28 @@ def test_streaming_session_equals_batch(spark, events_stream_dir):
     )
     expect = EW.session_counts(_batch_events(spark, events_stream_dir))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_streaming_dedup_one_row_per_key(spark, events_stream_dir):
+    """Custom stateful operator (applyInPandasWithState): exactly one
+    emitted row per distinct user_id across micro-batches, keys equal
+    to the batch-mode distinct set."""
+    from mini_sql_engine_spark.streaming.stateful import streaming_dedup
+
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=1)
+    deduped = streaming_dedup(stream, ["user_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_mem").collect()
+    batch_keys = {
+        r.user_id for r in _batch_events(spark, events_stream_dir)
+        .select("user_id").distinct().collect()
+    }
+    assert len(got) == len(batch_keys)  # no key emitted twice
+    assert {r.user_id for r in got} == batch_keys
