@@ -50,6 +50,21 @@ def token_count(text_col: str | Column = "text") -> Column:
     return F.size(tokens(text_col))
 
 
+# BPE-style pre-tokenization classes: letter runs, digit runs, single
+# non-space symbols — the split GPT-2-style byte-pair encoders apply
+# before merging. Counting these approximates LLM token counts far
+# better than whitespace words (punctuation and numbers tokenize
+# separately). Kept RE2-compatible so the DuckDB oracle runs the same
+# pattern.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text_col: str | Column = "text") -> Column:
+    """Count of BPE-style pre-tokens (JVM regex, no UDF)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array (higher-order funcs, no
     UDF): for each start index i, join tokens[i:i+n] with spaces.

@@ -334,6 +334,13 @@ SELECT doc_id,
 FROM documents WHERE lang = 'en'
 """
 
+ORACLES["token_counts"] = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
 ORACLES["term_counts"] = """
 SELECT term, count(*) AS term_count
 FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term

@@ -523,6 +523,16 @@ def text_stats(spark, sf_dir):
     return TX.text_stats(Catalog(spark, sf_dir).table("documents"), lang="en")
 
 
+def token_counts(spark, sf_dir):
+    """Whitespace vs BPE-style token counts per document."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_ws_tokens"),
+        TX.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def term_counts(spark, sf_dir):
     return TX.term_counts(Catalog(spark, sf_dir).table("documents"))
 
@@ -600,6 +610,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_topk": sim_topk,
     "sim_ann": sim_ann,
     "text_stats": text_stats,
+    "token_counts": token_counts,
     "term_counts": term_counts,
     "text_quality": text_quality,
     "lang_id": lang_id,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mini_sql_engine_spark.sources.csv_metadata import (
     RefCatalog,
@@ -83,3 +84,52 @@ def test_cli_front_door(spark, ref_dir, capsys):
     # reference-style error path: unknown table -> exit 1, error on stderr
     assert run("SELECT x FROM nope", ref_dir, spark) == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (planning-time pruning), not a data filter."""
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.sources.sinks import write_partitioned
+
+    from tests.conftest import SF_SMOKE
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, ["event_type"])
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    assert df.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_runs_without_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts →
+    the sort-merge join must have NO shuffle exchange on either side."""
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.sources.sinks import write_bucketed
+
+    from tests.conftest import SF_SMOKE
+
+    cat = Catalog(spark, SF_SMOKE)
+    li = cat.table("lineitem").select("l_orderkey", "l_quantity")
+    o = cat.table("orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", 8, path=str(tmp_path / "li_b"))
+    write_bucketed(o, "o_b", "o_orderkey", 8, path=str(tmp_path / "o_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        phys = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in phys, phys
+        assert "Exchange" not in phys, phys
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
