@@ -38,11 +38,17 @@ def main() -> None:
     # warm up JVM / codegen / parquet footer caches
     force(QUERIES["group_agg"](spark, sf_dir))
 
+    # min of two runs per query: one-off JVM GC pauses / Python-worker
+    # pool spin-up otherwise attribute multi-second noise to whichever
+    # query they land on (observed: 11 s on a 0.7 s query).
     timings: dict[str, float] = {}
     for qkey in sorted(QUERIES):
-        t0 = time.perf_counter()
-        force(QUERIES[qkey](spark, sf_dir))
-        timings[qkey] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(QUERIES[qkey](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[qkey] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

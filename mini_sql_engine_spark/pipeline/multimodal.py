@@ -120,6 +120,55 @@ def _fnv1a(payload: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+    ]
+)
+
+
+def resize(
+    media: DataFrame, target_w: int, target_h: int, fake_decode: bool = False
+) -> DataFrame:
+    """Batch resize over the binary column (``mapInPandas``).
+
+    The pixel kernel is stubbed like ``decode_image`` — in production
+    the decode→resize→re-encode happens here on the Arrow batch. The
+    engine-side contract (schema in/out, metadata rewrite, original
+    dims preserved, batch shape) is real and tested. With
+    ``fake_decode`` the payload passes through unchanged and only the
+    typed metadata is rewritten — deterministic, so downstream
+    operators can be tested end-to-end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decode:
+                for payload in pdf["payload"]:
+                    decode_image(payload)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "mime": pdf["mime"],
+                    "width": target_w,
+                    "height": target_h,
+                    "orig_width": pdf["width"],
+                    "orig_height": pdf["height"],
+                }
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling stand-in: keeps rows whose id falls on
     the sampling grid — the real operator applies the same predicate to

@@ -57,3 +57,24 @@ def test_frame_sample(spark):
     media = _media(spark)
     sampled = MM.frame_sample(media, every_n=10)
     assert {r.media_id % 10 for r in sampled.collect()} == {0}
+
+
+def test_resize_rewrites_metadata_and_preserves_payload(spark):
+    from mini_sql_engine_spark.catalog import Catalog
+    from tests.conftest import SF_SMOKE
+
+    media = MM.synthesize_media(Catalog(spark, SF_SMOKE).table("documents"))
+    out = MM.resize(media, 224, 224, fake_decode=True)
+    rows = out.limit(5).collect()
+    assert all(r.width == 224 and r.height == 224 for r in rows)
+    orig = {r.media_id: r for r in media.limit(50).collect()}
+    for r in rows:
+        assert bytes(r.payload) == bytes(orig[r.media_id].payload)
+        assert r.orig_width == orig[r.media_id].width
+
+    # the real-decode path must surface the stub, not silently no-op
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises(PythonException, match="NotImplementedError"):
+        MM.resize(media, 224, 224, fake_decode=False).limit(1).collect()
