@@ -1,0 +1,143 @@
+"""Property-based parity (SURVEY.md §5.4): hypothesis-generated
+filters / aggregations / set ops over random small integer tables must
+produce identical results in Spark and DuckDB. The generator emits
+each predicate in BOTH dialects from one AST, so any divergence is an
+engine-semantics bug, not a transcription bug.
+
+Integer-only tables mirror the reference's data model (every cell an
+integer [SPEC-HIGH]) — which also sidesteps float-ordering noise; the
+float discipline is covered by the main oracle contract instead.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+COLS = ["a", "b", "k"]
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(-5, 5), st.integers(-50, 50), st.integers(0, 3)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+cmp_st = st.tuples(
+    st.sampled_from(COLS),
+    st.sampled_from(sorted(OPS)),
+    st.one_of(st.integers(-5, 5), st.sampled_from(COLS)),
+)
+
+pred_st = st.tuples(cmp_st, st.sampled_from(["AND", "OR", None]), cmp_st)
+
+
+def spark_pred(pred):
+    (c1, op1, r1), conn, (c2, op2, r2) = pred
+    lhs = OPS[op1](F.col(c1), F.col(r1) if isinstance(r1, str) else F.lit(r1))
+    if conn is None:
+        return lhs
+    rhs = OPS[op2](F.col(c2), F.col(r2) if isinstance(r2, str) else F.lit(r2))
+    return (lhs & rhs) if conn == "AND" else (lhs | rhs)
+
+
+def sql_pred(pred):
+    (c1, op1, r1), conn, (c2, op2, r2) = pred
+    lhs = f"{c1} {'<>' if op1 == '!=' else op1} {r1}"
+    if conn is None:
+        return lhs
+    rhs = f"{c2} {'<>' if op2 == '!=' else op2} {r2}"
+    return f"({lhs}) {conn} ({rhs})"
+
+
+def make_inputs(spark, rows):
+    pdf = pd.DataFrame(rows, columns=COLS) if rows else pd.DataFrame(
+        {c: pd.Series(dtype="int64") for c in COLS}
+    )
+    sdf = spark.createDataFrame(pdf.astype("int64")) if rows else (
+        spark.createDataFrame([], "a long, b long, k long")
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+prop_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@prop_settings
+@given(rows=rows_st, pred=pred_st)
+def test_filter_parity(spark, rows, pred):
+    sdf, con = make_inputs(spark, rows)
+    got = sorted(tuple(r) for r in sdf.filter(spark_pred(pred)).collect())
+    exp = sorted(
+        map(tuple, con.execute(f"SELECT * FROM t WHERE {sql_pred(pred)}").fetchall())
+    )
+    assert got == exp, f"predicate {sql_pred(pred)!r}"
+
+
+@prop_settings
+@given(rows=rows_st)
+def test_group_agg_parity(spark, rows):
+    sdf, con = make_inputs(spark, rows)
+    got = sorted(
+        tuple(r)
+        for r in sdf.groupBy("k")
+        .agg(
+            F.sum("a").alias("sa"),
+            F.min("b").alias("mb"),
+            F.max("b").alias("xb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT k, sum(a) AS sa, min(b) AS mb, max(b) AS xb,"
+                " count(*) AS n FROM t GROUP BY k"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+@prop_settings
+@given(rows=rows_st, rows2=rows_st)
+def test_set_op_parity(spark, rows, rows2):
+    sdf1, con = make_inputs(spark, rows)
+    pdf2 = pd.DataFrame(rows2, columns=COLS)
+    sdf2 = (
+        spark.createDataFrame(pdf2.astype("int64"))
+        if rows2
+        else spark.createDataFrame([], "a long, b long, k long")
+    )
+    con.register("t2", pdf2)
+    cases = [
+        (sdf1.union(sdf2).distinct(), "SELECT * FROM t UNION SELECT * FROM t2"),
+        (sdf1.intersectAll(sdf2), "SELECT * FROM t INTERSECT ALL SELECT * FROM t2"),
+        (sdf1.exceptAll(sdf2), "SELECT * FROM t EXCEPT ALL SELECT * FROM t2"),
+    ]
+    for df, sql in cases:
+        got = sorted(tuple(r) for r in df.collect())
+        exp = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == exp, sql
