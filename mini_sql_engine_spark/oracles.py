@@ -133,6 +133,18 @@ SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qt
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+ORACLES["asof_join"] = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.value, p.pvalue AS asof_pvalue
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
 ORACLES["cube_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -207,12 +207,7 @@ def lsh_topk(
         (_dot(F.col("q_vec"), F.col("c_vec"))
          / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return _topk_per_query(scored, k)
 
 
 def _blocked_exact_pairs(
@@ -282,6 +277,93 @@ def _blocked_exact_pairs(
     return block_pairs.mapInPandas(
         score, "id_a long, id_b long, cosine double"
     )
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k from (query_id, neighbor_id,
+    cosine) candidate scores."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the FAISS-style scale
+    path, alternative to the hyperplane LSH in ``lsh_topk``.
+
+    1. Coarse quantizer: ``n_cells`` centroids chosen as the corpus
+       vectors with the smallest ``xxhash64(id)`` — a deterministic
+       random subsample (at real scale: sample → k-means refine; the
+       engine contract — assignment, probing, bucket join — is
+       identical either way).
+    2. Every corpus vector is assigned to its nearest centroid by
+       cosine (one Arrow-batched matrix product per record batch).
+    3. Each query probes its ``n_probe`` nearest cells, so scoring
+       touches ~n_probe/n_cells of the corpus instead of all of it.
+    4. Candidates re-scored exactly; per-query top-k via window rank.
+
+    The centroid matrix is n_cells × dim floats — driver-side once,
+    shipped with the task closure (same pattern as the LSH planes).
+    Recall/cost dial: (n_cells, n_probe); measured against
+    ``brute_force_topk`` in tests.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("h", F.xxhash64(F.col("cid")))
+        .orderBy("h", "cid")
+        .limit(n_cells)
+        .collect()
+    )
+    cent = np.array([r.cvec for r in cent_rows], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def probe_udf(n: int):
+        @F.pandas_udf("array<int>")
+        def probes(s: pd.Series) -> pd.Series:
+            if len(s) == 0:
+                return pd.Series([], dtype=object)
+            vecs = np.array(s.tolist(), dtype=np.float64)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            sim = vecs @ cent.T  # (N, n_cells)
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(top.astype(np.int32)))
+        return probes
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("c_norm", _norm(F.col("c_vec"))).withColumn(
+        "cell", F.element_at(probe_udf(1)(F.col("c_vec")), 1)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", _norm(F.col("q_vec"))).withColumn(
+        "cell", F.explode(probe_udf(n_probe)(F.col("q_vec")))
+    )
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_vec"), F.col("c_vec"))
+         / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_dup_pairs(

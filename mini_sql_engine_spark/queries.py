@@ -24,6 +24,7 @@ from mini_sql_engine_spark.catalog import Catalog
 from mini_sql_engine_spark.functions import text as TX
 from mini_sql_engine_spark.operators import (
     aggregates as AG,
+    asof as ASOF,
     joins as J,
     relational as R,
     sets as S,
@@ -159,6 +160,25 @@ def semi_join(spark, sf_dir):
         big_orders.select(F.col("o_custkey").alias("c_custkey")),
         on="c_custkey",
     ).select("c_custkey", "c_name")
+
+
+def asof_join(spark, sf_dir):
+    """For each click event, the value of the user's most recent
+    purchase at or before it. Right side pre-aggregated to one row per
+    (user, ts) so tie policy can't differ between engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    joined = ASOF.asof_join(clicks, purchases, by="user_id",
+                            value_cols=["pvalue"])
+    return joined.select("event_id", "user_id", "value",
+                         F.col("asof_pvalue").alias("asof_pvalue"))
 
 
 def anti_join(spark, sf_dir):
@@ -519,6 +539,14 @@ def sim_ann(spark, sf_dir):
                         n_planes=4, n_tables=4)
 
 
+def sim_ivf(spark, sf_dir):
+    """IVF-cell approximate top-k — rows-only (recall vs brute force
+    in tests)."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    return SIM.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=10,
+                        n_cells=32, n_probe=8)
+
+
 def text_stats(spark, sf_dir):
     return TX.text_stats(Catalog(spark, sf_dir).table("documents"), lang="en")
 
@@ -574,6 +602,7 @@ QUERIES: dict[str, QueryFn] = {
     "left_join": left_join,
     "semi_join": semi_join,
     "anti_join": anti_join,
+    "asof_join": asof_join,
     "agg_scalar": agg_scalar,
     "distinct_cols": distinct_cols,
     "count_distinct": count_distinct,
@@ -609,6 +638,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embed": dedup_embed,
     "sim_topk": sim_topk,
     "sim_ann": sim_ann,
+    "sim_ivf": sim_ivf,
     "text_stats": text_stats,
     "token_counts": token_counts,
     "term_counts": term_counts,

@@ -101,3 +101,31 @@ def test_rollup_includes_grand_total(spark):
     total = [r for r in rows if r.k1 is None and r.k2 is None]
     assert len(total) == 1 and total[0].s == 6
     assert len(rows) == 3 + 2 + 1
+
+
+def test_asof_join_golden(spark):
+    """Hand-computed golden: exact-ts tie matches, no-predecessor is
+    null, latest-of-several wins, keys don't leak across groups."""
+    import datetime as dt
+
+    from mini_sql_engine_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 10, T("2024-01-01 10:00")),   # before any right row -> null
+         (2, 10, T("2024-01-01 12:00")),   # exact tie with right @12:00
+         (3, 10, T("2024-01-01 15:00")),   # after two -> latest (13:00)
+         (4, 20, T("2024-01-01 23:00"))],  # other key, no right rows
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, T("2024-01-01 12:00"), 100.0),
+         (10, T("2024-01-01 13:00"), 200.0)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    got = {
+        r.event_id: r.asof_pvalue
+        for r in asof_join(left, right, by="user_id",
+                           value_cols=["pvalue"]).collect()
+    }
+    assert got == {1: None, 2: 100.0, 3: 200.0, 4: None}

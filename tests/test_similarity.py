@@ -100,3 +100,22 @@ def test_lsh_blocked_dup_pairs_subset_of_exact(spark):
     blocked = {(r.id_a, r.id_b)
                for r in SIM.cosine_dup_pairs(e, threshold=0.4, exact=False).collect()}
     assert blocked <= exact
+
+
+def test_ivf_topk_recall(spark, emb_np):
+    """IVF with 8/32 probes must beat plain-bucket recall and carry
+    exact cosines for every hit (32 cells, probe 8 -> ~25% of corpus
+    scored per query)."""
+    e = Catalog(spark, SF_SMOKE).table("embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = SIM.brute_force_topk(e, q, k=10).collect()
+    approx = SIM.ivf_topk(e, q, k=10, n_cells=32, n_probe=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cosine - exact_scores[key]) < 1e-9
