@@ -133,6 +133,18 @@ SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qt
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+ORACLES["range_join"] = """
+WITH w AS (
+  SELECT event_id AS wid,
+         ts - INTERVAL 30 MINUTE AS lo,
+         ts + INTERVAL 30 MINUTE AS hi
+  FROM events WHERE event_type = 'purchase'
+  ORDER BY value DESC, event_id LIMIT 20
+)
+SELECT e.event_id, w.wid
+FROM events e JOIN w ON e.ts BETWEEN w.lo AND w.hi
+"""
+
 ORACLES["asof_join"] = """
 WITH p AS (
   SELECT user_id, ts, max(value) AS pvalue

@@ -162,6 +162,30 @@ def semi_join(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
+def range_join(spark, sf_dir):
+    """Pure range join (no equi key): every event inside any of the
+    top-20 purchase windows [ts−30min, ts+30min]. Bucket-expansion
+    plan — hash join on hour granules + exact residual — never a
+    nested-loop join."""
+    from mini_sql_engine_spark.operators.range_join import point_in_interval_join
+
+    ev = Catalog(spark, sf_dir).table("events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(20)
+        .select(
+            F.col("event_id").alias("wid"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+        )
+    )
+    joined = point_in_interval_join(
+        ev.select("event_id", "ts"), windows, "ts", "lo", "hi"
+    )
+    return joined.select("event_id", "wid")
+
+
 def asof_join(spark, sf_dir):
     """For each click event, the value of the user's most recent
     purchase at or before it. Right side pre-aggregated to one row per
@@ -603,6 +627,7 @@ QUERIES: dict[str, QueryFn] = {
     "semi_join": semi_join,
     "anti_join": anti_join,
     "asof_join": asof_join,
+    "range_join": range_join,
     "agg_scalar": agg_scalar,
     "distinct_cols": distinct_cols,
     "count_distinct": count_distinct,

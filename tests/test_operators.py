@@ -129,3 +129,50 @@ def test_asof_join_golden(spark):
                            value_cols=["pvalue"]).collect()
     }
     assert got == {1: None, 2: 100.0, 3: 200.0, 4: None}
+
+
+def test_range_join_golden_and_plan(spark):
+    """Bucket-expansion range join: exact matches (boundary inclusive),
+    and the physical plan is a hash join, not a nested loop."""
+    import datetime as dt
+
+    from mini_sql_engine_spark.operators.range_join import point_in_interval_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    points = spark.createDataFrame(
+        [(1, T("2024-01-01 10:00")), (2, T("2024-01-01 11:00")),
+         (3, T("2024-01-01 11:59:59")), (4, T("2024-01-02 00:00"))],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(100, T("2024-01-01 10:00"), T("2024-01-01 11:00")),  # inclusive both ends
+         (200, T("2024-01-01 11:30"), T("2024-01-01 12:30"))],
+        "wid long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        (r.pid, r.wid)
+        for r in point_in_interval_join(points, ivs, "ts", "lo", "hi").collect()
+    )
+    assert got == [(1, 100), (2, 100), (3, 200)]
+
+    phys = (
+        point_in_interval_join(points, ivs, "ts", "lo", "hi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in phys and "CartesianProduct" not in phys, phys
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join over a skewed big side must equal the plain join."""
+    from mini_sql_engine_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(5000)] + [(k, k * 10) for k in range(2, 30)],
+        "k long, v long",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 20)], "k long, name string"
+    )
+    got = sorted(map(tuple, salted_join(big, small, "k", n_salts=8).collect()))
+    exp = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == exp and len(exp) > 5000
