@@ -118,6 +118,41 @@ def doc_freq(docs: DataFrame) -> DataFrame:
     )
 
 
+def tf_idf(docs: DataFrame, min_tf: int = 2) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf(d,t) · ln((N+1)/(df(t)+1)) — the
+    smoothed-IDF variant (never divides by zero, defined for unseen
+    terms). Composition of two keyed aggregations over one token
+    explosion; the df table is joined back broadcast (vocabulary ≪
+    corpus — at 100 TB the vocabulary is still only millions of rows).
+    ``min_tf`` prunes the long hapax tail before the join, which is
+    where the row count lives.
+    """
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.filter(F.col("tf") >= min_tf)
+    df = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    # N is a 1-row side input — broadcast as a literal-like join
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def quality_features(docs: DataFrame, stop_terms: tuple[str, ...] = ("the", "a")) -> DataFrame:
     """Per-document quality features: token count, stopword ratio,
     mean token length. All integer/rational arithmetic (deterministic

@@ -358,6 +358,25 @@ SELECT doc_id,
 FROM documents WHERE lang = 'en'
 """
 
+ORACLES["tfidf"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+  HAVING count(*) >= 2
+),
+df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+  GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+"""
+
 ORACLES["token_counts"] = """
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,

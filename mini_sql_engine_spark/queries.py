@@ -593,6 +593,10 @@ def text_quality(spark, sf_dir):
     return TX.quality_features(Catalog(spark, sf_dir).table("documents"))
 
 
+def tfidf(spark, sf_dir):
+    return TX.tf_idf(Catalog(spark, sf_dir).table("documents"))
+
+
 def lang_id(spark, sf_dir):
     """Heuristic language ID — rows-only (accuracy fixture in tests)."""
     return TX.lang_id(Catalog(spark, sf_dir).table("documents"))
@@ -668,6 +672,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts": token_counts,
     "term_counts": term_counts,
     "text_quality": text_quality,
+    "tfidf": tfidf,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_features": multimodal_features,
