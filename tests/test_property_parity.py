@@ -121,6 +121,76 @@ def test_group_agg_parity(spark, rows):
     assert got == exp
 
 
+null_rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.one_of(st.none(), st.integers(-50, 50)),
+        st.integers(0, 2),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+
+def nsorted(it):
+    """Sort tuples that may contain None (None sorts first)."""
+    return sorted(it, key=lambda t: tuple((v is not None, v) for v in t))
+
+def make_null_inputs(spark, rows):
+    sdf = spark.createDataFrame(rows, "a long, b long, k long") if rows else (
+        spark.createDataFrame([], "a long, b long, k long")
+    )
+    pdf = pd.DataFrame(rows, columns=COLS, dtype="object").astype(
+        {c: "Int64" for c in COLS}
+    ) if rows else pd.DataFrame({c: pd.Series(dtype="Int64") for c in COLS})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+@prop_settings
+@given(rows=null_rows_st, pred=pred_st)
+def test_filter_parity_with_nulls(spark, rows, pred):
+    """SQL three-valued logic: NULL comparisons are UNKNOWN and drop
+    the row — both engines must agree, including through AND/OR."""
+    sdf, con = make_null_inputs(spark, rows)
+    got = nsorted(tuple(r) for r in sdf.filter(spark_pred(pred)).collect())
+    exp = nsorted(
+        map(tuple, con.execute(f"SELECT * FROM t WHERE {sql_pred(pred)}").fetchall())
+    )
+    assert got == exp, f"predicate {sql_pred(pred)!r}"
+
+
+@prop_settings
+@given(rows=null_rows_st)
+def test_group_agg_parity_with_nulls(spark, rows):
+    """Aggregates skip NULLs; count(*) doesn't; all-NULL groups yield
+    NULL sums — both engines must agree."""
+    sdf, con = make_null_inputs(spark, rows)
+    got = nsorted(
+        tuple(r)
+        for r in sdf.groupBy("k")
+        .agg(
+            F.sum("a").alias("sa"),
+            F.count("a").alias("na"),
+            F.min("b").alias("mb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    exp = nsorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT k, sum(a) AS sa, count(a) AS na, min(b) AS mb,"
+                " count(*) AS n FROM t GROUP BY k"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
 @prop_settings
 @given(rows=rows_st, rows2=rows_st)
 def test_set_op_parity(spark, rows, rows2):
