@@ -9,9 +9,12 @@ SURVEY.md §4.2). Qkey bindings to the contract live in
 
 from mini_sql_engine_spark.operators import (  # noqa: F401
     aggregates,
+    asof,
     joins,
+    range_join,
     relational,
     sets,
+    skew,
     sorting,
     windows,
 )

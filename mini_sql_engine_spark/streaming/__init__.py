@@ -6,4 +6,4 @@ batch path is the contract surface, the streaming path is provided by
 ``streaming.jobs`` and exercised with availableNow triggers in tests.
 """
 
-from mini_sql_engine_spark.streaming import event_windows, jobs  # noqa: F401
+from mini_sql_engine_spark.streaming import event_windows, jobs, stateful  # noqa: F401
