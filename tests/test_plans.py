@@ -78,3 +78,29 @@ def test_whole_stage_codegen_active_on_flagship(spark):
     assert "isFinalPlan=true" in p
     # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
     assert re.search(r"\*\(\d+\)\s*HashAggregate", p), p[:800]
+
+
+def test_cross_join_guard(spark):
+    """Guard catches unconstrained big cross joins, passes small ones
+    and WHERE-recovered equi-joins (Catalyst recovery happens before
+    the check)."""
+    import pytest as _pytest
+
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.plans.guard import (
+        UnboundedCrossJoinError,
+        check_cross_joins,
+    )
+
+    cat = Catalog(spark, SF_SMOKE)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    # small product passes under the default budget
+    check_cross_joins(cat.table("region").crossJoin(cat.table("nation")))
+    # unconstrained product over the budget raises
+    with _pytest.raises(UnboundedCrossJoinError):
+        check_cross_joins(li.crossJoin(o), max_rows=1_000_000)
+    # cartesian + equality WHERE is recovered to an equi-join -> passes
+    check_cross_joins(
+        li.crossJoin(o).filter(F.col("l_orderkey") == F.col("o_orderkey")),
+        max_rows=1_000_000,
+    )
