@@ -47,11 +47,15 @@ def qualified_header(columns: list[str], catalog: RefCatalog) -> str:
     return ",".join(out)
 
 
-def run(sql: str, data_dir: str, spark=None) -> int:
+def run(sql: str, data_dir: str, spark=None, max_cross_rows: int | None = None) -> int:
     spark = spark or get_spark(app_name="mini_sql_engine_spark-cli")
     catalog = register_ref_tables(spark, data_dir)
     try:
         result = spark.sql(sql)
+        if max_cross_rows is not None:
+            from mini_sql_engine_spark.plans.guard import check_cross_joins
+
+            check_cross_joins(result, max_rows=max_cross_rows)
     except Exception as exc:  # parse/analysis errors → reference-style exit
         print(f"error: {exc}", file=sys.stderr)
         return 1
@@ -69,8 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("sql", help="SQL query string (full Spark SQL)")
     ap.add_argument("--data-dir", default=".",
                     help="directory holding metadata.txt and <table>.csv files")
+    ap.add_argument("--max-cross-rows", type=int, default=None,
+                    help="refuse unconstrained cross joins estimated above "
+                         "this row count (plans.guard pre-flight check)")
     args = ap.parse_args(argv)
-    return run(args.sql, args.data_dir)
+    return run(args.sql, args.data_dir, max_cross_rows=args.max_cross_rows)
 
 
 if __name__ == "__main__":

@@ -178,6 +178,16 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+ORACLES["win_dist"] = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
 ORACLES["set_intersect_all"] = """
 SELECT c_nationkey AS nationkey FROM customer
 INTERSECT ALL

@@ -320,6 +320,18 @@ def percentiles(spark, sf_dir):
     )
 
 
+def percentiles_approx(spark, sf_dir):
+    """Sketch percentiles (Greenwald-Khanna, mergeable partial state)
+    — the 100 TB path: exact percentile needs a per-group sort, the
+    sketch is one streaming pass. Rows-only (sketch internals differ
+    across engines); accuracy vs exact asserted in tests."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10_000).alias("ap50_price"),
+        F.approx_percentile("l_extendedprice", 0.99, 10_000).alias("ap99_price"),
+    )
+
+
 # ──────────────────── §2.5 sort / limit ───────────────────────
 
 
@@ -489,6 +501,21 @@ def win_lag(spark, sf_dir):
     )
 
 
+def win_dist(spark, sf_dir):
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    over order totals per customer segment."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w_val = W.spec(["o_orderpriority"], [F.col("o_totalprice")])
+    w_uniq = W.spec(["o_orderpriority"], [F.col("o_totalprice"), F.col("o_orderkey")])
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.ntile(4).over(w_uniq).cast("long").alias("quartile"),
+    )
+
+
 def win_running_sum(spark, sf_dir):
     ev = Catalog(spark, sf_dir).table("events")
     w = W.spec(["user_id"], [F.col("ts"), F.col("event_id")]).rowsBetween(
@@ -641,6 +668,7 @@ QUERIES: dict[str, QueryFn] = {
     "cube_agg": cube_agg,
     "pivot_agg": pivot_agg,
     "percentiles": percentiles,
+    "percentiles_approx": percentiles_approx,
     "order_by": order_by,
     "top_k": top_k,
     "set_union": set_union,
@@ -657,6 +685,7 @@ QUERIES: dict[str, QueryFn] = {
     "win_rank": win_rank,
     "win_lag": win_lag,
     "win_running_sum": win_running_sum,
+    "win_dist": win_dist,
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
     "win_session": win_session,

@@ -176,3 +176,30 @@ def test_salted_join_matches_plain_join(spark):
     got = sorted(map(tuple, salted_join(big, small, "k", n_salts=8).collect()))
     exp = sorted(map(tuple, big.join(small, "k").collect()))
     assert got == exp and len(exp) > 5000
+
+
+def test_approx_percentile_accuracy(spark):
+    """The sketch must land within 2% relative error of the exact
+    percentile at sf0.001 (rows-only Qkey's pytest oracle)."""
+    from mini_sql_engine_spark.queries import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    approx = {r.l_returnflag: (r.ap50_price, r.ap99_price)
+              for r in QUERIES["percentiles_approx"](spark, SF_SMOKE).collect()}
+    from mini_sql_engine_spark.catalog import Catalog
+    import pyspark.sql.functions as F_
+
+    exact = {
+        r.l_returnflag: (r.p50, r.p99)
+        for r in Catalog(spark, SF_SMOKE).table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(F_.percentile("l_extendedprice", 0.5).alias("p50"),
+             F_.percentile("l_extendedprice", 0.99).alias("p99"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a50, a99) in approx.items():
+        e50, e99 = exact[flag]
+        assert abs(a50 - e50) / e50 < 0.02, (flag, a50, e50)
+        assert abs(a99 - e99) / e99 < 0.02, (flag, a99, e99)
