@@ -33,3 +33,37 @@ def test_rows_only_queries_run(spark, qkey):
     n = df.count()
     assert df.columns, f"{qkey}: empty schema"
     assert n >= 0
+
+
+SQL_FRONT_DOOR = {
+    # the same logical queries via spark.sql over registered views --
+    # SURVEY.md §3.2's "two equivalent front doors" claim
+    "group_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "equi_join": """
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders, customer WHERE o_custkey = c_custkey
+    """,
+    "top_k": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+}
+
+
+@pytest.mark.parametrize("qkey", sorted(SQL_FRONT_DOOR))
+def test_sql_front_door_equals_dataframe_front_door(spark, qkey):
+    """spark.sql over registered views and the DataFrame Qkey must
+    agree (same Catalyst plan space). Columns compared by name."""
+    from mini_sql_engine_spark.catalog import Catalog
+
+    Catalog(spark, SF_SMOKE).register_all()
+    sql_rows = spark.sql(SQL_FRONT_DOOR[qkey])
+    df_rows = QUERIES[qkey](spark, SF_SMOKE).select(*sql_rows.columns)
+    got = sorted(map(tuple, sql_rows.collect()))
+    exp = sorted(map(tuple, df_rows.collect()))
+    assert got == exp
