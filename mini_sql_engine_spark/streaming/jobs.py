@@ -51,6 +51,27 @@ def streaming_session_counts(
     )
 
 
+def run_to_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain a streaming DataFrame with availableNow into a parquet
+    sink — the durable end of the readStream → transform → writeStream
+    pipeline. Append mode requires a watermark on aggregated streams
+    (windows finalize when the watermark passes them); the checkpoint
+    directory holds offsets + state, making the job exactly-once
+    restartable — kill it mid-backlog and a rerun resumes, never
+    double-writes."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     """Drain a streaming DataFrame with availableNow into a memory sink
     and return the materialized result as a batch DataFrame."""

@@ -73,3 +73,30 @@ def test_streaming_dedup_one_row_per_key(spark, events_stream_dir):
     }
     assert len(got) == len(batch_keys)  # no key emitted twice
     assert {r.user_id for r in got} == batch_keys
+
+
+def test_streaming_parquet_sink_append_with_watermark(spark, events_stream_dir, tmp_path):
+    """Durable sink: append-mode windowed counts emit exactly the
+    windows the watermark has finalized (end <= max_ts - 1h); the
+    still-open tail stays in state. Emitted rows must exactly match
+    the batch result restricted to finalized windows."""
+    import datetime as dt
+
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    jobs.run_to_parquet(
+        jobs.streaming_tumbling_counts(stream),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
+
+    batch = EW.tumbling_counts(_batch_events(spark, events_stream_dir))
+    max_ts = _batch_events(spark, events_stream_dir).agg(
+        F.max("ts").alias("m")
+    ).collect()[0].m
+    horizon = max_ts - dt.timedelta(hours=1)
+    finalized = sorted(
+        tuple(r) for r in batch.collect()
+        if dt.datetime.fromisoformat(r.ws) + dt.timedelta(days=1) <= horizon
+    )
+    assert got == finalized
+    assert len(got) > 0
