@@ -3,4 +3,9 @@
 similarity search (brute-force + LSH ANN), multimodal column plumbing.
 """
 
-from mini_sql_engine_spark.pipeline import dedup, multimodal, similarity  # noqa: F401
+from mini_sql_engine_spark.pipeline import (  # noqa: F401
+    clean,
+    dedup,
+    multimodal,
+    similarity,
+)

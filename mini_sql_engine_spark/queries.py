@@ -634,6 +634,16 @@ def doc_fingerprint(spark, sf_dir):
     return TX.doc_fingerprints(Catalog(spark, sf_dir).table("documents"))
 
 
+def corpus_clean(spark, sf_dir):
+    """End-to-end cleaning pipeline summary (quality gate → exact
+    dedup → near-dup removal) — rows-only (stage invariants asserted
+    in tests)."""
+    from mini_sql_engine_spark.pipeline import clean
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return clean.clean_stats(docs, clean.clean_corpus(docs))
+
+
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via mapInPandas — rows-only."""
     docs = Catalog(spark, sf_dir).table("documents")
@@ -704,5 +714,6 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf": tfidf,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "corpus_clean": corpus_clean,
     "multimodal_features": multimodal_features,
 }

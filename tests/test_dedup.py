@@ -107,3 +107,24 @@ def test_hamming_pairs_self_distance_zero(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs}
     expect = {(r.doc_id, r.doc_id + 1000) for r in docs.collect()}
     assert expect <= got
+
+
+def test_clean_corpus_pipeline(spark):
+    """End-to-end cleaning: stages compose, each monotonically shrinks
+    the corpus, survivors contain no exact duplicates, and every text
+    passes the quality gate."""
+    from mini_sql_engine_spark.pipeline import clean
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    gated = clean.quality_gate(docs)
+    cleaned = clean.clean_corpus(docs)
+    n_docs, n_gated, n_clean = docs.count(), gated.count(), cleaned.count()
+    assert n_docs >= n_gated >= n_clean > 0
+
+    # no exact duplicate texts survive
+    assert cleaned.select("text").distinct().count() == n_clean
+
+    stats = clean.clean_stats(docs, cleaned).collect()[0]
+    assert stats.n_input == n_docs
+    assert stats.n_cleaned == n_clean
+    assert stats.n_removed == n_docs - n_clean
