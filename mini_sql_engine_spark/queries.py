@@ -531,6 +531,12 @@ def win_running_sum(spark, sf_dir):
 # ─────────────── §2.9 event-time windows (batch) ──────────────
 
 
+def user_ewma(spark, sf_dir):
+    """Per-user EWMA via grouped applyInPandas — rows-only (pandas
+    oracle in tests)."""
+    return EW.user_ewma(Catalog(spark, sf_dir).table("events"))
+
+
 def win_tumbling(spark, sf_dir):
     return EW.tumbling_counts(Catalog(spark, sf_dir).table("events"))
 
@@ -696,6 +702,7 @@ QUERIES: dict[str, QueryFn] = {
     "win_lag": win_lag,
     "win_running_sum": win_running_sum,
     "win_dist": win_dist,
+    "user_ewma": user_ewma,
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
     "win_session": win_session,

@@ -55,6 +55,34 @@ def sliding_counts(
     )
 
 
+def user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the ``applyInPandas`` tier of the custom-operator ladder: an
+    order-dependent recurrence no built-in aggregate expresses
+    (window frames can't carry multiplicative state). Each user's
+    events arrive as one Arrow batch, the recurrence runs vectorized
+    in pandas, output is the final EWMA per user.
+
+    Scale note: state is one group per task after the groupBy shuffle;
+    a single user's history must fit a worker's batch — true for any
+    bounded-entity keyset (users, sessions), not for global keys.
+    """
+    import pandas as pd
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        val = pdf["value"].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]],
+             "n_events": [len(pdf)],
+             "ewma_value": [round(float(val), 6)]}
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(ewma, "user_id long, n_events long, ewma_value double")
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: sessions close after ``gap`` idle.
 

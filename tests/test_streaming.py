@@ -100,3 +100,17 @@ def test_streaming_parquet_sink_append_with_watermark(spark, events_stream_dir, 
     )
     assert got == finalized
     assert len(got) > 0
+
+
+def test_user_ewma_matches_pandas_oracle(spark, events_stream_dir):
+    """applyInPandas grouped recurrence vs a driver-side pandas oracle."""
+    ev = _batch_events(spark, events_stream_dir)
+    got = {r.user_id: (r.n_events, r.ewma_value)
+           for r in EW.user_ewma(ev, alpha=0.3).collect()}
+
+    pdf = ev.select("user_id", "ts", "event_id", "value").toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        exp = round(float(g["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]), 6)
+        assert got[uid] == (len(g), exp), uid
+    assert len(got) == pdf["user_id"].nunique()
