@@ -143,6 +143,14 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
+        # Defensive session confs: the contract must work under a
+        # caller-provided vanilla session, not only session.get_spark().
+        # nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which
+        # the vectorized reader otherwise rejects (PARQUET_TYPE_ILLEGAL);
+        # UTC: timestamp formatting/window bucketing must not depend on
+        # the host timezone. Both are runtime-settable SQL confs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def path(self, name: str) -> str:
         if name not in TABLE_SCHEMAS:
