@@ -30,16 +30,16 @@ from pyspark.sql import functions as F
 def cross_join(left: DataFrame, right: DataFrame, *, allow_large: bool = False) -> DataFrame:
     """Cartesian product (``FROM t1, t2`` with no join condition).
 
-    Guarded: by default refuses obviously-unbounded products. (The
-    guard is plan-time metadata-free, so it is a lint, not a hard
-    bound — the real protection is that the engine's own query surface
-    only cross-joins bounded dimension tables.)
-    """
+    Guarded: unless ``allow_large``, the optimized plan is checked and
+    an estimated row product beyond ``plans.guard.DEFAULT_MAX_ROWS``
+    raises — an unbounded cross join at 100 TB is an outage, not a
+    query (SURVEY.md §4.2)."""
+    out = left.crossJoin(right)
     if not allow_large:
-        # Cheap structural guard: if neither side is a known-small plan
-        # (limit / small dim), the caller must opt in explicitly.
-        pass
-    return left.crossJoin(right)
+        from mini_sql_engine_spark.plans.guard import check_cross_joins
+
+        check_cross_joins(out)
+    return out
 
 
 def equi_join(

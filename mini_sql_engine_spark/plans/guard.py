@@ -51,15 +51,20 @@ def _find_unbounded_cross(plan, max_rows: int) -> list[str]:
         cond_empty = not plan.condition().isDefined()
         if cond_empty and jt in ("cross", "inner"):
             sides = [plan.left(), plan.right()]
-            est = 1.0
+            est, known = 1.0, True
             for s in sides:
                 rc = s.stats().rowCount()
+                size = float(str(s.stats().sizeInBytes()))
                 if rc.isDefined():
                     est *= float(str(rc.get()))
+                elif size < 2.0**61:  # real estimate, not defaultSizeInBytes
+                    # size-based fallback: bytes / 16 as a crude row floor
+                    est *= max(size / 16.0, 1.0)
                 else:
-                    # fall back to size-based: bytes / 16 as a crude row floor
-                    est *= max(float(str(s.stats().sizeInBytes())) / 16.0, 1.0)
-            if est > max_rows:
+                    # statistics unknown (e.g. parallelized local data) —
+                    # the guard flags only PROVEN-large products
+                    known = False
+            if known and est > max_rows:
                 out.append(f"{jt} join, est {est:.3g} rows")
     it = plan.children().iterator()
     while it.hasNext():
