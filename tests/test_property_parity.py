@@ -211,3 +211,46 @@ def test_set_op_parity(spark, rows, rows2):
         got = sorted(tuple(r) for r in df.collect())
         exp = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == exp, sql
+
+
+@prop_settings
+@given(rows=rows_st)
+def test_window_parity(spark, rows):
+    """Ranking/analytic window functions over random data must agree
+    with DuckDB. Orders always carry the full row as tie-break so the
+    functions are deterministic on duplicate keys."""
+    sdf, con = make_inputs(spark, rows)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy("a", "b")
+    got = sorted(
+        tuple(r)
+        for r in sdf.select(
+            "a", "b", "k",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.lag("b").over(w).alias("prev_b"),
+            F.sum("b").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("run_b"),
+        ).collect()
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT a, b, k,"
+                " row_number() OVER w AS rn,"
+                " rank() OVER w AS rk,"
+                " lag(b) OVER w AS prev_b,"
+                " sum(b) OVER (PARTITION BY k ORDER BY a, b"
+                "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_b"
+                " FROM t WINDOW w AS (PARTITION BY k ORDER BY a, b)"
+            ).fetchall(),
+        )
+    )
+    # prev_b/run_b may be NULL in row 1 of each partition
+    def nkey(t):
+        return tuple((v is not None, v) for v in t)
+
+    assert sorted(got, key=nkey) == sorted(exp, key=nkey)
