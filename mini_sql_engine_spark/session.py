@@ -18,6 +18,41 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def cluster_conf(
+    total_cores: int,
+    input_bytes: int,
+    executor_mem_bytes: int = 16 * 1024**3,
+    target_partition_bytes: int = 128 * 1024**2,
+) -> dict[str, str]:
+    """Recommended Spark conf for a real cluster run at a given scale —
+    the local[32] defaults above don't transfer to 1000 executors, and
+    these formulas are the transfer function:
+
+    - ``shuffle.partitions``: enough that a shuffle partition of the
+      full input fits comfortably in a task (~``target_partition_bytes``
+      post-shuffle), floored at 2× total cores so every core has work
+      even for small intermediate results. AQE coalescing then shrinks
+      small stages at runtime — oversizing is cheap, undersizing spills.
+    - ``files.maxPartitionBytes``: scan split size; 128 MB matches
+      parquet row-group economics.
+    - ``autoBroadcastJoinThreshold``: ~1% of executor memory — a
+      broadcast table is resident on EVERY executor, so this scales
+      with executor memory, not data size.
+    - AQE on (coalescing, skew-join splitting) — the runtime safety
+      net for estimate misses in all of the above.
+    """
+    by_size = input_bytes // target_partition_bytes
+    shuffle_parts = max(2 * total_cores, by_size, 1)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.autoBroadcastJoinThreshold": str(executor_mem_bytes // 100),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+
+
 def get_spark(
     app_name: str = "mini_sql_engine_spark",
     cpus: int | str | None = None,

@@ -104,3 +104,16 @@ def test_cross_join_guard(spark):
         li.crossJoin(o).filter(F.col("l_orderkey") == F.col("o_orderkey")),
         max_rows=1_000_000,
     )
+
+
+def test_cluster_conf_formulas():
+    """Sizing math: 100 TB on 1000 executors x 8 cores."""
+    from mini_sql_engine_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=8000, input_bytes=100 * 1024**4)
+    # 100 TB / 128 MB = ~819k shuffle partitions (size-bound, not core-bound)
+    assert int(conf["spark.sql.shuffle.partitions"]) == 100 * 1024**4 // (128 * 1024**2)
+    # small job on the same cluster: floored at 2x cores
+    small = cluster_conf(total_cores=8000, input_bytes=10 * 1024**3)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16000
+    assert small["spark.sql.adaptive.enabled"] == "true"
