@@ -178,6 +178,19 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+ORACLES["win_range_frame"] = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+         AS trailing_1h_value,
+       count(*) OVER w AS trailing_1h_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+# floor(epoch()) matches Spark's whole-second unix_timestamp;
+# fractional epoch() would shift RANGE boundaries on sub-second data
+
+
 ORACLES["win_dist"] = """
 SELECT o_orderkey, o_orderpriority,
        round(percent_rank() OVER w, 6) AS pct_rank,

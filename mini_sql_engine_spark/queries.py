@@ -501,6 +501,26 @@ def win_lag(spark, sf_dir):
     )
 
 
+def win_range_frame(spark, sf_dir):
+    """Time-range rolling aggregate: per-user sum of values in the
+    trailing 1 hour (RANGE frame over event-time seconds — row frames
+    can't express time-based trailing windows)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+                .cast("double"), 6).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
+    )
+
+
 def win_dist(spark, sf_dir):
     """Distribution window functions: percent_rank / cume_dist / ntile
     over order totals per customer segment."""
@@ -702,6 +722,7 @@ QUERIES: dict[str, QueryFn] = {
     "win_lag": win_lag,
     "win_running_sum": win_running_sum,
     "win_dist": win_dist,
+    "win_range_frame": win_range_frame,
     "user_ewma": user_ewma,
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
