@@ -114,3 +114,54 @@ def test_user_ewma_matches_pandas_oracle(spark, events_stream_dir):
         exp = round(float(g["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]), 6)
         assert got[uid] == (len(g), exp), uid
     assert len(got) == pdf["user_id"].nunique()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The documented late-data policy, pinned: once the watermark has
+    passed a window's end and its state is evicted (the micro-batch
+    after the watermark advances), the window is emitted exactly once
+    and a later event for it is dropped -- no update, no duplicate row
+    in the append sink."""
+    import datetime as dt
+    import time
+
+    stream_dir = tmp_path / "late_stream"
+    stream_dir.mkdir()
+    schema = ("event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    T = lambda s: dt.datetime.fromisoformat(s)
+
+    def write_batch(rows, name):
+        batch_dir = tmp_path / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(batch_dir))
+        part = next(p for p in batch_dir.iterdir() if p.name.endswith(".parquet"))
+        part.rename(stream_dir / f"{name}.parquet")
+
+    # batch A: one day-1 event + one far-future event that advances the
+    # watermark (to Jan 3 11:00) past day-1's window end (Jan 2 00:00)
+    write_batch(
+        [(1, T("2024-01-01 01:00"), 1, "click", 1.0, "{}"),
+         (4, T("2024-01-03 12:00"), 3, "click", 1.0, "{}")],
+        "batch_a",
+    )
+    time.sleep(1.2)  # FileStreamSource orders batches by mod time
+    # batch B: any on-time event -- its commit finalizes + evicts the
+    # day-1 window state (eviction is lazy: it happens the batch AFTER
+    # the watermark advances)
+    write_batch([(6, T("2024-01-03 13:00"), 3, "click", 1.0, "{}")], "batch_b")
+    time.sleep(1.2)
+    # batch C: a LATE day-1 event -- state is gone, watermark has
+    # passed the window -> dropped
+    write_batch([(5, T("2024-01-01 04:00"), 1, "click", 1.0, "{}")], "batch_c")
+
+    stream = jobs.stream_events(spark, str(stream_dir), max_files=1)
+    jobs.run_to_parquet(
+        jobs.streaming_tumbling_counts(stream),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    got = [tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()]
+    # day-1 window: exactly one row, only the on-time event counted;
+    # the day-3 window is still open at stream end and must NOT appear
+    assert got == [("2024-01-01 00:00:00", "click", 1, 1.0)]
