@@ -157,6 +157,23 @@ SELECT c.event_id, c.user_id, c.value, p.pvalue AS asof_pvalue
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
+ORACLES["group_collect"] = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLES["array_hof"] = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       len(embedding) AS dim
+FROM embeddings
+"""
+
 ORACLES["cube_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -282,6 +282,22 @@ def rollup_agg(spark, sf_dir):
     )
 
 
+def group_collect(spark, sf_dir):
+    """Collect-to-list aggregation, made deterministic by sorting the
+    collected values (collect_list order is partition-dependent)."""
+    cat = Catalog(spark, sf_dir)
+    n, r = cat.table("nation"), cat.table("region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+            .alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
 def cube_agg(spark, sf_dir):
     li = Catalog(spark, sf_dir).table("lineitem")
     return AG.cube_agg(
@@ -464,6 +480,25 @@ def array_funcs(spark, sf_dir):
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", -1).cast("double").alias("last_val"),
         "label",
+    )
+
+
+def array_hof(spark, sf_dir):
+    """Array higher-order functions over the embedding column:
+    transform/filter/aggregate — the JVM-side vector-math primitives
+    (no UDF). Norm spelled as sum of squares; sqrt is IEEE-exact."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    vec = F.col("embedding")
+    sq_sum = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    n_pos = F.size(F.filter(vec, lambda x: x > 0))
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        n_pos.cast("long").alias("n_positive"),
+        F.size(vec).cast("long").alias("dim"),
     )
 
 
@@ -717,6 +752,8 @@ QUERIES: dict[str, QueryFn] = {
     "math_funcs": math_funcs,
     "case_when": case_when,
     "array_funcs": array_funcs,
+    "array_hof": array_hof,
+    "group_collect": group_collect,
     "json_funcs": json_funcs,
     "win_rank": win_rank,
     "win_lag": win_lag,
