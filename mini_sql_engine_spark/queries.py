@@ -348,6 +348,58 @@ def percentiles_approx(spark, sf_dir):
     )
 
 
+def q3_topk(spark, sf_dir):
+    """TPC-H Q3-shaped composite: segment filter → 3-way join →
+    decimal-exact revenue aggregation → top-10. The plan to check at
+    scale: customer broadcast, lineitem never shuffled before the
+    filter, partial aggregation before the exchange, top-k as
+    TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat.table("orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = cat.table("lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q5_local_suppliers(spark, sf_dir):
+    """TPC-H Q5-shaped composite: 6-table join (lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region) with the local-supplier
+    condition, revenue per nation. All dimensions broadcast; the fact
+    table shuffles once for the orders join."""
+    cat = Catalog(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), cat.table("customer")
+    s, n, r = cat.table("supplier"), cat.table("nation"), cat.table("region")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
 # ──────────────────── §2.5 sort / limit ───────────────────────
 
 
@@ -734,6 +786,8 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_cols": distinct_cols,
     "count_distinct": count_distinct,
     "group_agg": group_agg,
+    "q3_topk": q3_topk,
+    "q5_local_suppliers": q5_local_suppliers,
     "group_having": group_having,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
