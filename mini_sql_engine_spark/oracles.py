@@ -502,3 +502,78 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.6
 """
+
+# ── round-continuation batch: skew-safe agg, stats, reshaping, ──
+# ── window dedup, regex, and SQL-front-door subqueries ──────────
+
+# Salted two-stage aggregation is semantics-preserving ⇒ same oracle.
+ORACLES["group_agg_salted"] = ORACLES["group_agg"]
+
+ORACLES["stats_agg"] = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows, sum(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLES["unpivot_metrics"] = """
+SELECT p_partkey, 'p_retailprice' AS metric,
+       CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+"""
+
+# DuckDB regexp_replace replaces the FIRST match unless the 'g'
+# option is passed; Spark's replaces all — 'g' aligns them.
+ORACLES["regex_funcs"] = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_consonants,
+       regexp_matches(p_name, 'red') AS has_red
+FROM part
+"""
+
+ORACLES["latest_per_key"] = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+# §2.11 subqueries: these three strings are ALSO the Spark-side
+# implementation — queries.py runs the identical text via spark.sql,
+# so the front doors are verified to agree on correlated-subquery
+# semantics, not just on hand-matched plans.
+ORACLES["exists_subquery"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000.0)
+"""
+
+ORACLES["in_subquery"] = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_name LIKE 'NATION_1%')
+"""
+
+ORACLES["scalar_subquery"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  FROM orders)
+"""

@@ -28,6 +28,7 @@ from mini_sql_engine_spark.operators import (
     joins as J,
     relational as R,
     sets as S,
+    skew as SK,
     sorting as SO,
     windows as W,
 )
@@ -231,6 +232,21 @@ def agg_scalar(spark, sf_dir):
     )
 
 
+def stats_agg(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/corr/covariance) per
+    group. Spark computes these with a single-pass mergeable moment
+    sketch (partial per partition, merge at the reducer) — the same
+    shuffle profile as sum/count, so they scale identically. Rounding
+    absorbs the float accumulation-order difference vs the oracle."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
 def distinct_cols(spark, sf_dir):
     return AG.distinct_rows(Catalog(spark, sf_dir).table("orders"),
                             ["o_orderstatus", "o_orderpriority"])
@@ -260,6 +276,38 @@ def group_agg(spark, sf_dir):
             (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+def group_agg_salted(spark, sf_dir):
+    """The ``group_agg`` flagship computed through the explicit
+    salted two-stage aggregation (operators/skew.py) — same oracle
+    SQL, so the hash check proves salting is semantics-preserving."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    g = SK.salted_groupby(
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "sum", F.col("l_quantity")),
+            ("_sum_base", "sum", price),
+            ("_sum_disc", "sum", price * (one - disc)),
+            ("_sum_charge", "sum", price * (one - disc) * (one + tax)),
+            ("_sum_d", "sum", disc),
+            ("count_order", "count", F.lit(1)),
+        ],
+        n_salts=8,
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        (F.col("_sum_d").cast("double") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -305,6 +353,36 @@ def cube_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+def grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS via the Spark 4.x DataFrame API —
+    generalizes rollup/cube to an explicit set list; one shuffle, the
+    expand happens map-side before the exchange."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+def unpivot_metrics(spark, sf_dir):
+    """Wide→long unpivot (melt). Spark's ``unpivot`` is a zero-shuffle
+    map-side expand — each row emits one output row per value column."""
+    p = Catalog(spark, sf_dir).table("part")
+    narrow = p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return narrow.unpivot("p_partkey", ["p_retailprice", "p_size"],
+                          "metric", "value")
 
 
 def pivot_agg(spark, sf_dir):
@@ -460,6 +538,39 @@ def set_except_all(spark, sf_dir):
     return S.except_all(c, s)
 
 
+# ─────────────── §2.11 subqueries (SQL front door) ─────────────
+#
+# Correlated/uncorrelated subqueries have no DataFrame-API spelling;
+# they are exactly what the SQL front door (SURVEY.md §3.2) exists
+# for. Each Qkey runs the IDENTICAL SQL text on Spark and the DuckDB
+# oracle (single source of truth in oracles.py) — Catalyst de-
+# correlates EXISTS/IN into left-semi joins and evaluates the scalar
+# subquery once (a broadcast of one row), so the physical plans scale.
+
+
+def _front_door_sql(spark, sf_dir, key):
+    from mini_sql_engine_spark.oracles import ORACLES
+
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(ORACLES[key])
+
+
+def exists_subquery(spark, sf_dir):
+    """Correlated EXISTS → planned as a left-semi hash join."""
+    return _front_door_sql(spark, sf_dir, "exists_subquery")
+
+
+def in_subquery(spark, sf_dir):
+    """IN (uncorrelated subquery) → left-semi join on the key."""
+    return _front_door_sql(spark, sf_dir, "in_subquery")
+
+
+def scalar_subquery(spark, sf_dir):
+    """Scalar aggregate subquery evaluated once; the threshold uses an
+    exact decimal sum so both engines compute the identical double."""
+    return _front_door_sql(spark, sf_dir, "scalar_subquery")
+
+
 # ──────────────────── §2.7 scalar functions ───────────────────
 
 
@@ -475,6 +586,20 @@ def str_funcs(spark, sf_dir):
         F.trim(F.lit("  pad  ")).alias("trimmed"),
         F.col("p_type").like("PROMO%").alias("is_promo"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+def regex_funcs(spark, sf_dir):
+    """Regex extract/replace/match. Patterns stay in the ASCII-class
+    subset where Java regex (Spark) and RE2 (DuckDB) agree; DuckDB's
+    ``regexp_replace`` needs the 'g' flag to match Spark's
+    replace-all semantics (see oracle)."""
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_consonants"),
+        F.col("p_name").rlike("red").alias("has_red"),
     )
 
 
@@ -575,6 +700,21 @@ def win_rank(spark, sf_dir):
         F.row_number().over(w_uniq).cast("long").alias("rn"),
         F.rank().over(w_val).cast("long").alias("rnk"),
         F.dense_rank().over(w_val).cast("long").alias("drnk"),
+    )
+
+
+def latest_per_key(spark, sf_dir):
+    """Latest-row-per-key (`row_number() = 1`) — THE workhorse dedup
+    pattern for CDC / event logs at scale: one shuffle on the key, a
+    per-partition sort, no self-join. Tie-break on the unique orderkey
+    keeps it deterministic."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w = W.spec(["o_custkey"],
+               [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     )
 
 
@@ -783,15 +923,19 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join": asof_join,
     "range_join": range_join,
     "agg_scalar": agg_scalar,
+    "stats_agg": stats_agg,
     "distinct_cols": distinct_cols,
     "count_distinct": count_distinct,
     "group_agg": group_agg,
+    "group_agg_salted": group_agg_salted,
     "q3_topk": q3_topk,
     "q5_local_suppliers": q5_local_suppliers,
     "group_having": group_having,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
+    "grouping_sets": grouping_sets,
     "pivot_agg": pivot_agg,
+    "unpivot_metrics": unpivot_metrics,
     "percentiles": percentiles,
     "percentiles_approx": percentiles_approx,
     "order_by": order_by,
@@ -801,7 +945,11 @@ QUERIES: dict[str, QueryFn] = {
     "set_except": set_except,
     "set_intersect_all": set_intersect_all,
     "set_except_all": set_except_all,
+    "exists_subquery": exists_subquery,
+    "in_subquery": in_subquery,
+    "scalar_subquery": scalar_subquery,
     "str_funcs": str_funcs,
+    "regex_funcs": regex_funcs,
     "date_funcs": date_funcs,
     "math_funcs": math_funcs,
     "case_when": case_when,
@@ -810,6 +958,7 @@ QUERIES: dict[str, QueryFn] = {
     "group_collect": group_collect,
     "json_funcs": json_funcs,
     "win_rank": win_rank,
+    "latest_per_key": latest_per_key,
     "win_lag": win_lag,
     "win_running_sum": win_running_sum,
     "win_dist": win_dist,

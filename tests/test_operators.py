@@ -178,6 +178,36 @@ def test_salted_join_matches_plain_join(spark):
     assert got == exp and len(exp) > 5000
 
 
+def test_salted_groupby_matches_plain_groupby(spark):
+    """Two-stage salted aggregation must be value-identical to the
+    one-shot groupBy for every supported algebraic op, including the
+    sum/count avg decomposition, on a skewed key distribution."""
+    from pyspark.sql import functions as F
+
+    from mini_sql_engine_spark.operators.skew import salted_groupby
+
+    df = spark.createDataFrame(
+        [("hot", i % 7, float(i)) for i in range(5000)]
+        + [(f"k{j}", j, float(j)) for j in range(40)],
+        "k string, a long, x double",
+    )
+    got = salted_groupby(
+        df, ["k"],
+        [("n", "count", F.lit(1)), ("sum_a", "sum", F.col("a")),
+         ("min_x", "min", F.col("x")), ("max_x", "max", F.col("x"))],
+        n_salts=8,
+    ).withColumn("avg_a", F.col("sum_a") / F.col("n"))
+    exp = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("a").alias("sum_a"),
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.avg("a").alias("avg_a"),
+    )
+    cols = ["k", "n", "sum_a", "min_x", "max_x", "avg_a"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, exp.select(cols).collect())
+    )
+
+
 def test_approx_percentile_accuracy(spark):
     """The sketch must land within 2% relative error of the exact
     percentile at sf0.001 (rows-only Qkey's pytest oracle)."""
