@@ -4,5 +4,15 @@ semantics. The plan-quality *gates* live in tests/test_plans.py; this
 package holds the runtime counterparts."""
 
 from mini_sql_engine_spark.plans.materialize import materialized
+from mini_sql_engine_spark.plans.runtime_filters import (
+    bloom_filter_nodes,
+    enable_runtime_filters,
+    restore_confs,
+)
 
-__all__ = ["materialized"]
+__all__ = [
+    "materialized",
+    "bloom_filter_nodes",
+    "enable_runtime_filters",
+    "restore_confs",
+]
