@@ -23,6 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 
 def streaming_dedup(
@@ -63,4 +67,58 @@ def streaming_dedup(
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+class _TakePerKey(StatefulProcessor):
+    """Emit at most ``limit`` rows per key over the stream's lifetime.
+    State: one bigint counter per key."""
+
+    def __init__(self, limit: int):
+        self.limit = limit
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.count = handle.getValueState("taken", "n bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        taken = self.count.get()[0] if self.count.exists() else 0
+        for pdf in rows:
+            if taken >= self.limit:
+                break
+            out = pdf.iloc[: self.limit - taken]
+            taken += len(out)
+            if len(out):
+                yield out
+        self.count.update((taken,))
+
+    def close(self) -> None:
+        pass
+
+
+def take_per_key(df: DataFrame, key_cols: list[str], limit: int) -> DataFrame:
+    """Per-key quota over an unbounded stream via the 4.x
+    ``transformWithStateInPandas`` API (the successor to
+    ``applyInPandasWithState``: explicit named state variables, TTL
+    per state, timers). The training-data use case: cap documents
+    per domain / user so one hot source can't dominate a crawl batch.
+
+    Requires the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — which is what a 100 TB
+    deployment should run anyway: state lives off-heap and spills to
+    disk, so quota state over hundreds of millions of keys doesn't
+    pressure executor heaps. Counter-only state means bytes-per-key is
+    ~key + 8 bytes regardless of row width.
+
+    Runtime dependency: executing (not planning) this operator needs
+    the ``protobuf`` python package — Spark 4.x implements the
+    transformWithState driver↔worker state protocol over protobuf
+    messages. Plan construction and schema derivation work without it;
+    the e2e test skips where it's absent.
+    """
+    return df.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_TakePerKey(limit),
+        outputStructType=df.schema,
+        outputMode="append",
+        timeMode="none",
     )

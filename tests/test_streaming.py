@@ -75,6 +75,63 @@ def test_streaming_dedup_one_row_per_key(spark, events_stream_dir):
     assert {r.user_id for r in got} == batch_keys
 
 
+def test_take_per_key_plumbing(spark, events_stream_dir):
+    """The transformWithStateInPandas quota operator must at least
+    build its lazy plan with a passthrough schema — this part needs no
+    protobuf, so it runs everywhere."""
+    from mini_sql_engine_spark.streaming.stateful import take_per_key
+
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=1)
+    out = take_per_key(stream, ["user_id"], 3)
+    assert out.schema == stream.schema
+    assert out.isStreaming
+
+
+def test_take_per_key_quota(spark, events_stream_dir):
+    """transformWithStateInPandas quota operator: across micro-batches
+    each user_id emits at most `limit` rows, and exactly
+    min(limit, n_rows(user)) — the counter state survives batches.
+
+    Executing (not just planning) transformWithState needs the
+    protobuf python package for its driver↔worker state protocol —
+    skipped where absent (see stateful.py docstring)."""
+    pytest.importorskip("google.protobuf")
+    from mini_sql_engine_spark.streaming.stateful import take_per_key
+
+    limit = 3
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.stream_events(spark, events_stream_dir, max_files=1)
+        q = (
+            take_per_key(stream, ["user_id"], limit)
+            .writeStream.format("memory")
+            .queryName("quota_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.table("quota_mem").groupBy("user_id").count().collect()
+        )
+        expect = {
+            r.user_id: min(limit, r["count"])
+            for r in _batch_events(spark, events_stream_dir)
+            .groupBy("user_id").count().collect()
+        }
+        assert {r.user_id: r["count"] for r in got} == expect
+        assert max(r["count"] for r in got) <= limit
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_streaming_parquet_sink_append_with_watermark(spark, events_stream_dir, tmp_path):
     """Durable sink: append-mode windowed counts emit exactly the
     windows the watermark has finalized (end <= max_ts - 1h); the
