@@ -133,3 +133,37 @@ def test_bucketed_join_runs_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """On a uniform 256x256 grid split into 16 files, a linear sort on
+    x skips x-predicates but NOTHING on y; the z-ordered layout carves
+    the grid into 4x4 blocks, so a 10-wide stripe on EITHER dimension
+    prunes ~3/4 of the files from footer stats alone."""
+    from mini_sql_engine_spark.sources.layout import (
+        file_skipping_ratio,
+        write_linear,
+        write_zordered,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    lin, zed = str(tmp_path / "lin"), str(tmp_path / "zed")
+    write_linear(grid, "x", lin, n_files=16)
+    write_zordered(grid, ["x", "y"], zed, n_files=16, bits=8)
+
+    # identical content, different layout
+    assert (
+        spark.read.parquet(zed).count() == spark.read.parquet(lin).count() == 65536
+    )
+
+    lin_x = file_skipping_ratio(lin, "x", 10, 19)
+    lin_y = file_skipping_ratio(lin, "y", 10, 19)
+    z_x = file_skipping_ratio(zed, "x", 10, 19)
+    z_y = file_skipping_ratio(zed, "y", 10, 19)
+
+    assert lin_x >= 0.8          # linear layout is perfect on its sort key
+    assert lin_y == 0.0          # ... and useless on the other dimension
+    assert z_x >= 0.5 and z_y >= 0.5, (z_x, z_y)  # z-order skips on BOTH
