@@ -150,3 +150,35 @@ def test_runtime_bloom_filter_injected_and_semantics_preserved(spark):
         assert sorted(map(tuple, pruned.collect())) == baseline
     finally:
         restore_confs(spark, prev)
+
+
+def test_subqueries_decorrelate_to_semi_joins(spark):
+    """EXISTS and IN must compile to semi hash joins — no correlated
+    per-row re-execution, no cartesian — and the scalar subquery must
+    appear as a one-time Subquery node, not a per-row plan."""
+    p = plan(Q.exists_subquery(spark, SF_SMOKE))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    p2 = plan(Q.in_subquery(spark, SF_SMOKE))
+    assert "LeftSemi" in p2, p2
+    p3 = plan(Q.scalar_subquery(spark, SF_SMOKE))
+    assert "Subquery" in p3, p3
+    assert "CartesianProduct" not in p3
+
+
+def test_latest_per_key_single_shuffle(spark):
+    """row_number dedup must cost exactly one exchange (on the
+    partition key) — a second exchange would mean the filter or
+    projection broke the window's partitioning."""
+    p = plan(Q.latest_per_key(spark, SF_SMOKE))
+    assert p.count("Exchange") == 1, p
+
+
+def test_salted_groupby_two_stage_shape(spark):
+    """The salted aggregation plan must contain two distinct keyed
+    aggregations (salted partial + final) and exactly one exchange
+    keyed on (group keys, salt) feeding them."""
+    p = plan(Q.group_agg_salted(spark, SF_SMOKE))
+    assert "_salt" in p, p
+    # one shuffle for the salted stage, one for the final merge
+    assert p.count("Exchange") == 2, p
