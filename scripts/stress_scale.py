@@ -1,0 +1,123 @@
+"""Scale-up stress: run headline queries at sf0.1 and at a ~10x
+synthetic blow-up (~sf1), and report the wall-clock scaling factor.
+
+Usage: python scripts/stress_scale.py [--copies 10] [--out /tmp/sfscaled]
+
+Why this exists: correctness is checked at sf0.01; the 100 TB question
+is *how cost grows with data*. A healthy plan scales ~linearly in
+input size (hash aggs, broadcast/SMJ joins, windows); anything
+super-linear (a nested loop, a driver collect, a skew-collapsed
+reducer) shows up immediately as a factor >> copies. The driver's
+per-round bench stays at sf0.1; this script is the local evidence that
+the plans survive a 10x and by extension informs the 10^6x story
+(`session.cluster_conf` covers the cluster-sizing math).
+
+The blow-up replicates each table ``copies`` times with all join keys
+offset per copy — join fan-out and group cardinality scale with the
+data (each copy is a disjoint key universe), exactly how a bigger
+TPC-H SF behaves for these queries. Non-key attributes are left as-is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from mini_sql_engine_spark.catalog import Catalog
+from mini_sql_engine_spark.session import get_spark
+
+# key columns per table: every *key gets copy_i * OFFSET added so each
+# replica is a disjoint, join-consistent key universe
+KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+}
+# nation/region are dimensions — copied once, keys must keep matching,
+# so nationkeys are NOT offset (c_nationkey/s_nationkey offsets would
+# break the dim join); instead those two fact-side keys stay raw too.
+NO_OFFSET = {"c_nationkey", "s_nationkey"}
+OFFSET = 100_000_000
+
+HEADLINE = ["group_agg", "q3_topk", "q5_local_suppliers", "equi_join",
+            "latest_per_key", "top_k", "stats_agg", "exists_subquery"]
+
+
+def scale_table(df: DataFrame, keys: list[str], copies: int) -> DataFrame:
+    out = None
+    for i in range(copies):
+        c = df
+        for k in keys:
+            if k not in NO_OFFSET:
+                c = c.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def build(spark, src: str, dst: str, copies: int) -> None:
+    cat = Catalog(spark, src)
+    for t in ["region", "nation", "events", "documents", "embeddings"]:
+        cat.table(t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    for t, keys in KEYS.items():
+        scale_table(cat.table(t), keys, copies).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+
+
+def time_queries(spark, sf_dir: str, keys: list[str]) -> dict[str, float]:
+    from mini_sql_engine_spark.queries import QUERIES
+
+    out = {}
+    for k in keys:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            # same forcing as bench.py: noop write = full executor-side
+            # pipeline, nothing collected to the driver
+            QUERIES[k](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        out[k] = round(best, 3)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sfscaled")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="stress-scale")
+    marker = os.path.join(args.out, f".built_{args.copies}")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        build(spark, args.src, args.out, args.copies)
+        open(marker, "w").write("ok")
+        print(f"built {args.copies}x data in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    base = time_queries(spark, args.src, HEADLINE)
+    big = time_queries(spark, args.out, HEADLINE)
+    factors = {k: round(big[k] / max(base[k], 1e-3), 2) for k in HEADLINE}
+    print(json.dumps({
+        "copies": args.copies,
+        "base_sec": base,
+        "scaled_sec": big,
+        "scale_factor": factors,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
