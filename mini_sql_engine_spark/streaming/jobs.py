@@ -51,6 +51,42 @@ def streaming_session_counts(
     )
 
 
+def streaming_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "2 hours",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each click with the same user's
+    views within ±``within`` of it.
+
+    Both inputs carry watermarks and the join condition bounds event
+    time on both sides — that pair is what lets Spark compute a state
+    retention horizon (watermark + interval) and EVICT buffered rows,
+    so state is O(rows in the time window), not O(stream). Without the
+    time-range condition a stream-stream join must buffer one side
+    forever; at 100 TB/day that is the difference between a runnable
+    job and an OOM. Works identically on batch DataFrames (minus the
+    watermark bound), which is how the test establishes the oracle.
+    """
+    c, v = clicks.alias("c"), views.alias("v")
+    if clicks.isStreaming:
+        c = c.withWatermark("ts", watermark)
+        v = v.withWatermark("ts", watermark)
+    cond = (
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("c.ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("v.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(v, cond, "inner").select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("v.ts").alias("view_ts"),
+    )
+
+
 def run_to_parquet(
     df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

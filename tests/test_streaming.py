@@ -75,6 +75,41 @@ def test_streaming_dedup_one_row_per_key(spark, events_stream_dir):
     assert {r.user_id for r in got} == batch_keys
 
 
+def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir):
+    """Watermarked stream-stream join (clicks ⋈ views per user within
+    ±30 min) drained with availableNow must emit exactly the batch
+    join's pairs — the watermark bounds state, not results, when the
+    replay respects event-time order within the horizon."""
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=4)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    q = (
+        jobs.streaming_interval_join(clicks, views, watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("ssj_mem").collect()))
+
+    batch = _batch_events(spark, events_stream_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expect = sorted(
+        map(
+            tuple,
+            jobs.streaming_interval_join(
+                batch.filter(F.col("event_type") == "click"),
+                batch.filter(F.col("event_type") == "view"),
+            ).collect(),
+        )
+    )
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_take_per_key_plumbing(spark, events_stream_dir):
     """The transformWithStateInPandas quota operator must at least
     build its lazy plan with a passthrough schema — this part needs no
