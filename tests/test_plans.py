@@ -182,3 +182,38 @@ def test_salted_groupby_two_stage_shape(spark):
     assert "_salt" in p, p
     # one shuffle for the salted stage, one for the final merge
     assert p.count("Exchange") == 2, p
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling — the built-in counterpart of
+    operators/skew.py — must split the hot partition: the executed
+    adaptive plan shows SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead. Plan must be read from the SAME QueryExecution
+    that ran (a fresh .write/.count builds a new, un-executed plan
+    without runtime stats — that plan never shows skew=true)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 5 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload_" * 8), F.col("id")).alias("v"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 100_000
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in phys, phys
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
