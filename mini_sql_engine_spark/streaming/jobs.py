@@ -108,6 +108,25 @@ def run_to_parquet(
     q.awaitTermination()
 
 
+def run_foreach_batch(df: DataFrame, sink, checkpoint_dir: str) -> None:
+    """Drain a stream through ``foreachBatch(sink)`` — the escape
+    hatch for sinks Spark has no native writer for (JDBC upserts,
+    key-value stores, message buses). ``sink(batch_df, batch_id)``
+    must be IDEMPOTENT BY batch_id: after a crash the checkpoint
+    replays the last uncommitted batch with the same id, so a sink
+    that keys its writes on the id (overwrite-partition, upsert,
+    transactional produce) yields exactly-once output; a blind append
+    yields at-least-once. That contract — not the transport — is what
+    makes a sink 'kafka-shaped'."""
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     """Drain a streaming DataFrame with availableNow into a memory sink
     and return the materialized result as a batch DataFrame."""

@@ -167,3 +167,42 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     assert lin_x >= 0.8          # linear layout is perfect on its sort key
     assert lin_y == 0.0          # ... and useless on the other dimension
     assert z_x >= 0.5 and z_y >= 0.5, (z_x, z_y)  # z-order skips on BOTH
+
+
+def test_json_orc_connectors_roundtrip(spark, tmp_path):
+    """DataSource V2 gives json/orc for free — prove the claim with an
+    explicit-schema roundtrip of a catalog table through both formats
+    (schema-on-write preserved by orc; json re-read with the explicit
+    StructType, never inferSchema)."""
+    from mini_sql_engine_spark.catalog import Catalog
+
+    from tests.conftest import SF_SMOKE
+
+    nation = Catalog(spark, SF_SMOKE).table("nation")
+    expect = sorted(map(tuple, nation.collect()))
+
+    orc_path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(orc_path)
+    assert sorted(map(tuple, spark.read.orc(orc_path).collect())) == expect
+
+    json_path = str(tmp_path / "nation_json")
+    nation.write.mode("overwrite").json(json_path)
+    back = spark.read.schema(nation.schema).json(json_path)
+    assert sorted(map(tuple, back.collect())) == expect
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """The HLL++ sketch (the 100 TB cardinality path) must land within
+    ~3x its configured relative standard deviation of the exact count."""
+    from mini_sql_engine_spark.operators.aggregates import (
+        approx_count_distinct,
+        count_distinct,
+    )
+    from mini_sql_engine_spark.catalog import Catalog
+
+    from tests.conftest import SF_SMOKE
+
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    exact = count_distinct(li, "l_partkey", "n").collect()[0].n
+    approx = approx_count_distinct(li, "l_partkey", "n", rsd=0.02).collect()[0].n
+    assert abs(approx - exact) / exact <= 0.06, (approx, exact)

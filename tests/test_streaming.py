@@ -208,6 +208,36 @@ def test_user_ewma_matches_pandas_oracle(spark, events_stream_dir):
     assert len(got) == pdf["user_id"].nunique()
 
 
+def test_foreach_batch_idempotent_sink(spark, events_stream_dir, tmp_path):
+    """foreachBatch custom sink, written idempotently (one overwritten
+    parquet dir per batch_id): replaying all micro-batches must yield
+    exactly the source rows, and batch ids must be distinct."""
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(
+            str(tmp_path / f"batch_id={batch_id}")
+        )
+
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    jobs.run_foreach_batch(
+        stream.select("event_id", "user_id"), sink, str(tmp_path / "ckpt")
+    )
+    assert len(seen) == len(set(seen)) >= 2  # several distinct batches
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "batch_id=*")).collect())
+    )
+    expect = sorted(
+        map(
+            tuple,
+            _batch_events(spark, events_stream_dir)
+            .select("event_id", "user_id").collect(),
+        )
+    )
+    assert got == expect
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """The documented late-data policy, pinned: once the watermark has
     passed a window's end and its state is evicted (the micro-batch
