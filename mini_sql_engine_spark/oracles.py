@@ -577,3 +577,18 @@ WHERE o_totalprice > 1.5 * (
   SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
   FROM orders)
 """
+
+# Argmax via exact pair encoding: cents*10^10 + orderkey, plain MAX,
+# decode. Integer-exact in both engines; ties impossible (orderkey
+# unique), unlike bare max_by/arg_max whose ties are engine-defined.
+ORACLES["arg_max"] = """
+SELECT o_custkey,
+       m % 10000000000 AS best_orderkey,
+       CAST(m // 10000000000 AS DOUBLE) / 100.0 AS best_price
+FROM (
+  SELECT o_custkey,
+         max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * 10000000000 + o_orderkey) AS m
+  FROM orders GROUP BY o_custkey
+)
+"""

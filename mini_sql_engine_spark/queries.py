@@ -311,6 +311,31 @@ def group_agg_salted(spark, sf_dir):
     )
 
 
+def arg_max(spark, sf_dir):
+    """Per-key argmax (which order was each customer's priciest) via
+    the encode-pair-into-one-max trick: cents×10^10 + orderkey packs
+    (price, unique tie-break) into one BIGINT, so a plain algebraic
+    MAX — one shuffle, map-side partials, deterministic — carries the
+    argument along. ``max_by`` exists in both engines but leaves ties
+    engine-defined; the encoding makes the answer exact everywhere.
+    Decimal cents keep the arithmetic integer-exact (price ≤ ~9·10^8
+    fits: cents·10^10 < 9.2·10^18)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    base = F.lit(10_000_000_000).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    enc = cents * base + F.col("o_orderkey")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max(enc).alias("_m"))
+        .select(
+            "o_custkey",
+            F.pmod(F.col("_m"), base).alias("best_orderkey"),
+            ((F.col("_m") / base).cast("long").cast("double") / 100.0)
+            .alias("best_price"),
+        )
+    )
+
+
 def group_having(spark, sf_dir):
     o = Catalog(spark, sf_dir).table("orders")
     g = AG.group_agg(
@@ -928,6 +953,7 @@ QUERIES: dict[str, QueryFn] = {
     "count_distinct": count_distinct,
     "group_agg": group_agg,
     "group_agg_salted": group_agg_salted,
+    "arg_max": arg_max,
     "q3_topk": q3_topk,
     "q5_local_suppliers": q5_local_suppliers,
     "group_having": group_having,
