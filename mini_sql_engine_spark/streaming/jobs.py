@@ -56,9 +56,20 @@ def streaming_interval_join(
     views: DataFrame,
     watermark: str = "2 hours",
     within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each click with the same user's
-    views within ±``within`` of it.
+    """Stream-stream join: pair each click with the same user's views
+    within ±``within`` of it. ``how='left'`` adds outer semantics:
+    a click with no view in its interval is emitted with nulls — but
+    only once the watermark proves no matching view can still arrive
+    (outer results trail the data by watermark + interval; an inner
+    match emits as soon as both rows are buffered).
+
+    Operational gotcha (pinned in tests): the join's GLOBAL watermark
+    is the MIN over both inputs' watermarks. If one branch of the
+    pipeline goes quiet (e.g. views stop flowing), the watermark
+    stalls, outer results stop emitting, and state grows on both
+    sides — monitor per-source event-time lag, not just the sink.
 
     Both inputs carry watermarks and the join condition bounds event
     time on both sides — that pair is what lets Spark compute a state
@@ -78,7 +89,7 @@ def streaming_interval_join(
         & (F.col("v.ts") >= F.col("c.ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("v.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {within}"))
     )
-    return c.join(v, cond, "inner").select(
+    return c.join(v, cond, how).select(
         F.col("c.user_id").alias("user_id"),
         F.col("c.event_id").alias("click_id"),
         F.col("v.event_id").alias("view_id"),

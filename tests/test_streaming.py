@@ -110,6 +110,72 @@ def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir):
     assert len(got) > 0
 
 
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no view in its
+    ±30 min interval must surface with null view columns — but only
+    after the watermark proves no match can still arrive (the eviction
+    happens the micro-batch AFTER the watermark advances past
+    click.ts + interval, so the scenario needs three batches)."""
+    import datetime as dt
+    import time
+
+    stream_dir = tmp_path / "oj_stream"
+    stream_dir.mkdir()
+    schema = ("event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    T = lambda s: dt.datetime.fromisoformat(s)
+
+    def write_batch(rows, name):
+        batch_dir = tmp_path / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(batch_dir))
+        part = next(p for p in batch_dir.iterdir() if p.name.endswith(".parquet"))
+        part.rename(stream_dir / f"{name}.parquet")
+
+    # A: u1 click+view (match), u2 click with no view (outer candidate)
+    write_batch(
+        [(1, T("2024-01-01 01:00"), 1, "click", 1.0, "{}"),
+         (2, T("2024-01-01 01:10"), 1, "view", 1.0, "{}"),
+         (3, T("2024-01-01 02:00"), 2, "click", 1.0, "{}")],
+        "batch_a",
+    )
+    time.sleep(1.2)
+    # The GLOBAL watermark is the MIN across the two watermarked
+    # branches (clicks, views) — advancing only one branch pins the
+    # join's watermark at the other's. So every advancing batch
+    # carries a far-future CLICK and VIEW (by non-matching users
+    # u7/u8, so they add no join rows; u7's clicks stay in state,
+    # never eligible for null-emission before the drain ends).
+    write_batch([(4, T("2024-01-03 12:00"), 7, "click", 1.0, "{}"),
+                 (5, T("2024-01-03 12:00"), 8, "view", 1.0, "{}")], "batch_b")
+    time.sleep(1.2)
+    # C: runs with the post-B watermark (Jan 3 11:00) — far past
+    # u2's click.ts + 30 min — so C evicts + null-emits u2's click
+    write_batch([(6, T("2024-01-03 13:30"), 7, "click", 1.0, "{}"),
+                 (7, T("2024-01-03 13:30"), 8, "view", 1.0, "{}")], "batch_c")
+
+    stream = jobs.stream_events(spark, str(stream_dir), max_files=1)
+    q = (
+        jobs.streaming_interval_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "view"),
+            watermark="1 hour", how="left",
+        )
+        .writeStream.format("memory")
+        .queryName("oj_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.click_id, r.view_id)
+        for r in spark.table("oj_mem").collect()
+    )
+    assert got == [(1, 1, 2), (2, 3, None)], got
+
+
 def test_take_per_key_plumbing(spark, events_stream_dir):
     """The transformWithStateInPandas quota operator must at least
     build its lazy plan with a passthrough schema — this part needs no
