@@ -592,3 +592,15 @@ FROM (
   FROM orders GROUP BY o_custkey
 )
 """
+
+ORACLES["full_join"] = """
+WITH c AS (
+  SELECT c_nationkey, count(*) AS n_rich_cust
+  FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, count(*) AS n_rich_supp
+  FROM supplier WHERE s_acctbal > 6000 GROUP BY s_nationkey
+)
+SELECT c_nationkey, n_rich_cust, s_nationkey, n_rich_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""

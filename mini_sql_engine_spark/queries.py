@@ -153,6 +153,27 @@ def left_join(spark, sf_dir):
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
 
 
+def full_join(spark, sf_dir):
+    """FULL OUTER join of per-nation customer vs supplier wealth
+    summaries, with asymmetric filters so all three row classes occur
+    (left-only, matched, right-only). Same shuffle profile as inner —
+    full outer just keeps both unmatched sides."""
+    cat = Catalog(spark, sf_dir)
+    c = (
+        cat.table("customer").filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    s = (
+        cat.table("supplier").filter(F.col("s_acctbal") > 6000)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return J.equi_join(
+        c, s, on=F.col("c_nationkey") == F.col("s_nationkey"), how="full"
+    ).select("c_nationkey", "n_rich_cust", "s_nationkey", "n_rich_supp")
+
+
 def semi_join(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     big_orders = cat.table("orders").filter(F.col("o_totalprice") > 400000)
@@ -943,6 +964,7 @@ QUERIES: dict[str, QueryFn] = {
     "join3": join3,
     "theta_join": theta_join,
     "left_join": left_join,
+    "full_join": full_join,
     "semi_join": semi_join,
     "anti_join": anti_join,
     "asof_join": asof_join,
