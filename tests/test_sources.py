@@ -206,3 +206,33 @@ def test_approx_count_distinct_error_bound(spark):
     exact = count_distinct(li, "l_partkey", "n").collect()[0].n
     approx = approx_count_distinct(li, "l_partkey", "n", rsd=0.02).collect()[0].n
     assert abs(approx - exact) / exact <= 0.06, (approx, exact)
+
+
+def test_quantile_zorder_balances_heavy_tailed_keys(spark):
+    """On a heavy-tailed column, min/max z-order normalization
+    collapses most rows into the bottom code (one outlier stretches
+    the range); equi-depth quantile normalization must spread rows so
+    no code holds more than a few times its fair share."""
+    from mini_sql_engine_spark.sources.layout import (
+        zorder_value,
+        zorder_value_quantile,
+    )
+
+    # exp(x): 99% of mass lands in the bottom ~1% of the value range
+    skewed = spark.range(20_000).select(
+        F.exp(F.col("id") / 1000.0).alias("v"),
+        (F.col("id") % 97).cast("double").alias("u"),
+    )
+
+    def max_code_share(zcol):
+        counts = (
+            skewed.select(zcol).groupBy("_zval").count()
+            .agg(F.max("count").alias("m")).collect()[0].m
+        )
+        return counts / 20_000
+
+    lin = max_code_share(zorder_value(skewed, ["v", "u"], bits=4))
+    qnt = max_code_share(zorder_value_quantile(skewed, ["v", "u"], bits=4))
+    # 2 cols x 4 bits = 256 codes; fair share ~0.4% of rows per code
+    assert lin > 0.05, lin    # linear: >5% of rows pile into one code
+    assert qnt < 0.02, qnt    # equi-depth: every code under 2%
