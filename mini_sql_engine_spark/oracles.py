@@ -8,8 +8,9 @@ decimals). Integer outputs are BIGINT on both sides.
 
 Keys intentionally ABSENT (rows-only contract — no faithful DuckDB
 twin; validated instead by pytest numpy/python oracles, see tests/):
-dedup_near, dedup_simhash, dedup_embed, sim_topk, sim_ann, lang_id,
-doc_fingerprint, multimodal_features.
+dedup_near, dedup_simhash, dedup_embed, sim_topk, sim_ann, sim_ivf,
+lang_id, doc_fingerprint, multimodal_features, percentiles_approx,
+user_ewma, corpus_clean, corpus_sample.
 """
 
 from __future__ import annotations

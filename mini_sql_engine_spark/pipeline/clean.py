@@ -83,3 +83,26 @@ def clean_stats(docs: DataFrame, cleaned: DataFrame) -> DataFrame:
         "n_cleaned",
         (F.col("n_input") - F.col("n_cleaned")).alias("n_removed"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling — the rebalancing step of a
+    training-data mix (downsample over-represented languages/domains,
+    keep the rest). ``sampleBy`` is a map-side filter: each row draws
+    against its stratum's fraction, no shuffle, no count pass —
+    at 100 TB this is the only affordable shape (an exact-count
+    stratified sampler would need a full groupBy first). Seeded ⇒
+    reproducible row set for a fixed input and Spark version.
+
+    Strata absent from ``fractions`` get ``default_fraction`` (keep
+    everything by default — explicit about what is downsampled).
+    """
+    domain = [r[0] for r in docs.select(strata_col).distinct().collect()]
+    full = {v: float(fractions.get(v, default_fraction)) for v in domain}
+    return docs.sampleBy(strata_col, full, seed=seed)

@@ -943,6 +943,20 @@ def corpus_clean(spark, sf_dir):
     return clean.clean_stats(docs, clean.clean_corpus(docs))
 
 
+def corpus_sample(spark, sf_dir):
+    """Stratified rebalancing sample (downsample English to 30%, keep
+    other languages whole) — seeded map-side Bernoulli per stratum,
+    no shuffle. Rows-only: the sampled set is seed/version-defined;
+    the pytest oracle checks fractions, default-keep, and seeded
+    reproducibility."""
+    from mini_sql_engine_spark.pipeline.clean import stratified_sample
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return stratified_sample(docs, "lang", {"en": 0.3}, seed=42).select(
+        "doc_id", "lang"
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via mapInPandas — rows-only."""
     docs = Catalog(spark, sf_dir).table("documents")
@@ -1031,5 +1045,6 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "corpus_clean": corpus_clean,
+    "corpus_sample": corpus_sample,
     "multimodal_features": multimodal_features,
 }

@@ -128,3 +128,33 @@ def test_clean_corpus_pipeline(spark):
     assert stats.n_input == n_docs
     assert stats.n_cleaned == n_clean
     assert stats.n_removed == n_docs - n_clean
+
+
+def test_stratified_sample_rebalances_and_reproduces(spark):
+    """sampleBy must (a) hit each stratum's fraction within Bernoulli
+    tolerance, (b) keep unlisted strata whole via default_fraction=1,
+    and (c) be bit-reproducible for a fixed seed."""
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.pipeline.clean import stratified_sample
+
+    from tests.conftest import SF_SMOKE
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    base = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    frac = {"en": 0.3}
+
+    s1 = stratified_sample(docs, "lang", frac, seed=7)
+    got = {r[0]: r[1] for r in s1.groupBy("lang").count().collect()}
+    # downsampled stratum: within ~5 sigma of Binomial(n, 0.3)
+    n_en = base["en"]
+    sigma = (n_en * 0.3 * 0.7) ** 0.5
+    assert abs(got["en"] - 0.3 * n_en) <= 5 * sigma, (got["en"], n_en)
+    # unlisted strata kept whole
+    for lang, n in base.items():
+        if lang != "en":
+            assert got.get(lang, 0) == n, lang
+    # seeded reproducibility: identical row sets
+    s2 = stratified_sample(docs, "lang", frac, seed=7)
+    assert sorted(r.doc_id for r in s1.select("doc_id").collect()) == sorted(
+        r.doc_id for r in s2.select("doc_id").collect()
+    )
