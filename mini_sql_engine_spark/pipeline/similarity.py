@@ -88,44 +88,6 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sketch(
-    df: DataFrame,
-    n_planes: int = 16,
-    vec_col: str = "embedding",
-    seed: int = 42,
-    dim: int = EMBEDDING_DIM,
-) -> DataFrame:
-    """Random-hyperplane (SimHash-for-vectors) sketch: bit i = sign of
-    ⟨v, h_i⟩ where h_i is a deterministic pseudo-random ±1 hyperplane
-    derived from xxhash64(seed, i, j). Charikar (STOC'02) bound:
-    P[bit match] = 1 − θ/π. All built-ins, fully deterministic."""
-    planes = [
-        F.array(
-            *[
-                F.when(
-                    F.xxhash64(F.lit(seed), F.lit(i), F.lit(j))
-                    .bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for j in range(dim)
-            ]
-        )
-        for i in range(n_planes)
-    ]
-    bucket = F.aggregate(
-        F.array(
-            *[
-                F.when(_dot(F.col(vec_col), planes[i]) > 0,
-                       F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-                for i in range(n_planes)
-            ]
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.withColumn("bucket", bucket)
-
-
 def multi_table_buckets(
     df: DataFrame,
     n_planes: int,
@@ -370,6 +332,7 @@ def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 8,
+    n_tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: bool = False,
@@ -377,25 +340,33 @@ def cosine_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
     ``exact=True`` scores all pairs via blocked matrix multiply
-    (ground truth; N²/2 dense work — see ``_blocked_exact_pairs``);
-    default path blocks by hyperplane bucket first — at high thresholds
-    near-dups almost surely share the bucket (cos ≥ 0.9 → angle ≤ 26°
-    → P[all b bits agree] ≥ (1−26/180)^b ≈ 0.28 at b=8; production
-    uses multiple sketch tables to push recall up, as in
-    ``multi_table_buckets``)."""
+    (ground truth; N²/2 dense work — see ``_blocked_exact_pairs``;
+    kept as the test oracle, never the scale binding). The default
+    path blocks by hyperplane bucket using ``n_tables`` independent
+    sketches (OR-construction, same planes machinery as ``lsh_topk``):
+    a pair is a candidate if it collides in ANY table, then candidates
+    are exactly re-scored. Charikar bound at cos ≥ 0.9 (angle ≤ 26°):
+    single-table P[all 8 bits agree] ≈ (1−26/180)^8 ≈ 0.29, so 8
+    tables give recall ≈ 1−(1−0.29)^8 ≈ 0.94 — gated ≥ 0.9 by
+    tests/test_similarity.py on planted near-dups. Cost per table is
+    ~N²/2^b pair work, all keyed joins, no all-pairs stage."""
     if exact:
         return _blocked_exact_pairs(embeddings, threshold, vec_col, id_col)
     base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     base = base.withColumn("norm", _norm(F.col("vec")))
-    sk = hyperplane_sketch(base, n_planes, "vec")
+    sk = multi_table_buckets(base, n_planes, n_tables, "vec")
     a = sk.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
-                  F.col("norm").alias("norm_a"), "bucket")
+                  F.col("norm").alias("norm_a"), "table", "bucket")
     b = sk.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
-                  F.col("norm").alias("norm_b"), "bucket")
-    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+                  F.col("norm").alias("norm_b"), "table", "bucket")
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several tables must score once, not T×
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )

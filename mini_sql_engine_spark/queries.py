@@ -850,9 +850,15 @@ def dedup_exact(spark, sf_dir):
 
 
 def dedup_ngram(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs — hash-checkable ground truth."""
-    return DD.ngram_jaccard_pairs(Catalog(spark, sf_dir).table("documents"),
-                                  n=3, threshold=0.6)
+    """Exact 3-gram Jaccard pairs via the df-capped inverted index —
+    the 100 TB-safe binding. ``max_df=1000`` is far above the corpus's
+    real max shingle document-frequency (7 at sf0.01, 25 at sf0.1), so
+    the output — and the oracle hash — is identical to the uncapped
+    ground truth, while a hot stop-shingle at scale can no longer blow
+    the pair join up quadratically."""
+    return DD.ngram_jaccard_pairs_capped(
+        Catalog(spark, sf_dir).table("documents"),
+        n=3, threshold=0.6, max_df=1000)
 
 
 def dedup_near(spark, sf_dir):
@@ -868,10 +874,14 @@ def dedup_simhash(spark, sf_dir):
 
 
 def dedup_embed(spark, sf_dir):
-    """Embedding-cosine near-dup pairs — rows-only (numpy oracle in
-    tests)."""
+    """Embedding-cosine near-dup pairs via the bucketed multi-table
+    LSH path — the scale binding (the blocked-GEMM exact scorer stays
+    as the pytest oracle; recall is gated in tests/test_similarity.py).
+    4 planes × 8 tables: coarse buckets keep recall high at this low
+    threshold while still pruning ~15/16 of the pair space per table.
+    Rows-only Qkey (approximate by design)."""
     return SIM.cosine_dup_pairs(Catalog(spark, sf_dir).table("embeddings"),
-                                threshold=0.4, exact=True)
+                                threshold=0.4, n_planes=4, n_tables=8)
 
 
 def sim_topk(spark, sf_dir):

@@ -94,12 +94,50 @@ def test_cosine_dup_pairs_exact_matches_numpy(spark, emb_np):
 
 
 def test_lsh_blocked_dup_pairs_subset_of_exact(spark):
+    """The bucketed (Qkey-bound) path may only miss pairs, never
+    invent them — and at the Qkey's parameters it must find most."""
     e = Catalog(spark, SF_SMOKE).table("embeddings")
     exact = {(r.id_a, r.id_b)
              for r in SIM.cosine_dup_pairs(e, threshold=0.4, exact=True).collect()}
     blocked = {(r.id_a, r.id_b)
-               for r in SIM.cosine_dup_pairs(e, threshold=0.4, exact=False).collect()}
+               for r in SIM.cosine_dup_pairs(
+                   e, threshold=0.4, n_planes=4, n_tables=8).collect()}
     assert blocked <= exact
+    assert len(blocked) / len(exact) >= 0.5, (
+        f"Qkey-shape recall {len(blocked)}/{len(exact)} too low")
+
+
+def test_cosine_dup_pairs_recall_on_planted_neardups(spark):
+    """Recall gate for the default multi-table path: plant 40 true
+    near-duplicate pairs (cos ≥ 0.9) among 400 random vectors; the
+    8-plane × 8-table OR-construction must recover ≥ 0.9 of them
+    (Charikar bound predicts ≈ 0.94 at cos = 0.9 exactly; planted
+    pairs sit at 0.9–0.99 so observed recall is higher)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(400, 64))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(400)]
+    planted = set()
+    next_id = 400
+    for i in range(40):
+        # dup = unit(base) + small orthogonal-ish noise → cos ≥ 0.9
+        v = base[i] / np.linalg.norm(base[i])
+        noise = rng.normal(size=64)
+        noise *= rng.uniform(0.15, 0.4) / np.linalg.norm(noise)
+        dup = v + noise
+        cos = float(v @ dup / np.linalg.norm(dup))
+        if cos >= 0.9:
+            rows.append((next_id, [float(x) for x in dup]))
+            planted.add((i, next_id))
+            next_id += 1
+    assert len(planted) >= 30, "planting failed"
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b)
+           for r in SIM.cosine_dup_pairs(df, threshold=0.9).collect()}
+    exact = {(r.id_a, r.id_b)
+             for r in SIM.cosine_dup_pairs(df, threshold=0.9, exact=True).collect()}
+    assert got <= exact
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"multi-table recall {recall:.2f} < 0.9"
 
 
 def test_ivf_topk_recall(spark, emb_np):
