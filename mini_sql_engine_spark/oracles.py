@@ -352,6 +352,14 @@ SELECT event_id,
 FROM events
 """
 
+ORACLES["json_typed"] = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_map,
+       CAST(len(json_keys(props)) AS INT) AS n_keys
+FROM events
+"""
+
 ORACLES["win_rank"] = """
 SELECT o_orderkey, o_custkey,
        row_number() OVER (PARTITION BY o_custkey
