@@ -28,13 +28,46 @@ def top_k(df: DataFrame, k: int, *keys: Column | str) -> DataFrame:
     return df.orderBy(*keys).limit(k)
 
 
-def with_rank(df: DataFrame, *keys: Column | str, alias: str = "pos") -> DataFrame:
-    """Attach a global 1-based position under a total order.
+def with_rank(
+    df: DataFrame, *keys: Column | str, alias: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a global 1-based position under a total order — scale
+    plan, no single-task data funnel.
 
-    Implemented as ``row_number`` over an un-partitioned window — this
-    funnels through one task, so it is for bounded/diagnostic outputs
-    only (Qkey hashing of an ordered result); at scale use
-    ``zipWithIndex``-free ranking per partition key instead.
+    An un-partitioned ``row_number`` window would range-exchange every
+    row into ONE task; instead: (1) ``repartitionByRange`` on the sort
+    keys (sampled boundaries, the same exchange a distributed ORDER BY
+    uses), (2) per-range-partition ``row_number`` keyed by
+    ``spark_partition_id`` — fully parallel, rows are already
+    clustered, (3) global position = local position + the cumulative
+    row count of all earlier range partitions. The offset cumsum runs
+    over exactly ``num_partitions`` rows (one count per partition) —
+    O(P), independent of data size — and is broadcast back, so the
+    only remaining single-partition window touches ~32 rows at any
+    scale. Deterministic whenever ``keys`` form a total order (callers
+    add a unique tie-break, as the module docstring requires).
     """
-    w = Window.orderBy(*keys)
-    return df.withColumn(alias, F.row_number().over(w))
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    s = base.withColumn("_local", F.row_number().over(w_local))
+    # per-partition row counts off the shared exchange (ReusedExchange)
+    counts = base.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        s.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, (F.col("_local") + F.col("_off")).cast("int"))
+        .select(*df.columns, alias)
+    )

@@ -94,6 +94,20 @@ def test_top_k_deterministic_ties(spark):
     assert got == [1, 2]
 
 
+def test_with_rank_global_positions(spark):
+    """Range-partitioned rank must equal the naive total sort's
+    positions, including across partition boundaries (more partitions
+    than rows forces empty partitions and cross-boundary offsets)."""
+    data = [(i, float(v)) for i, v in enumerate([5, 3, 9, 1, 7, 3, 9, 2])]
+    df = _df(spark, data, "id long, v double")
+    got = SO.with_rank(df, F.col("v").desc(), F.col("id"),
+                       num_partitions=16).collect()
+    got.sort(key=lambda r: r.pos)
+    exp = sorted(data, key=lambda t: (-t[1], t[0]))
+    assert [r.pos for r in got] == list(range(1, len(data) + 1))
+    assert [(r.id, r.v) for r in got] == exp
+
+
 def test_rollup_includes_grand_total(spark):
     df = _df(spark, [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
              "k1 string, k2 string, v long")

@@ -217,3 +217,19 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_order_by_rank_has_no_data_scale_single_partition_window(spark):
+    """The global-position rank must not funnel the data through one
+    task: the row_number window is keyed by the range-partition id,
+    and the only SinglePartition exchange in the plan feeds the O(P)
+    per-partition-count cumsum (P = shuffle partitions, independent of
+    data size)."""
+    p = formatted(Q.order_by(spark, SF_SMOKE))
+    rn_specs = [ln for ln in p.splitlines()
+                if "row_number()" in ln and "windowspecdefinition" in ln]
+    assert rn_specs, p
+    for ln in rn_specs:
+        assert "_pid" in ln, f"row_number window not partition-keyed: {ln}"
+    # distributed range exchange present (the ORDER BY shuffle shape)
+    assert "rangepartitioning(" in p, p
