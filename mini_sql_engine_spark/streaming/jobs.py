@@ -43,6 +43,21 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame, duration: str = "1 day", slide: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding window counts on a stream. Each event updates
+    duration/slide open windows, so state per key is that factor
+    larger than tumbling — the watermark is what keeps it bounded:
+    a window's state is finalized and evicted once the watermark
+    passes its END, even though later windows still overlap its
+    events' timestamps."""
+    return event_windows.sliding_counts(
+        events.withWatermark("ts", watermark), duration, slide
+    )
+
+
 def streaming_session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -41,6 +41,18 @@ def test_streaming_tumbling_equals_batch(spark, events_stream_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
 
 
+def test_streaming_sliding_equals_batch(spark, events_stream_dir):
+    """Overlapping windows drained via readStream+availableNow must
+    emit exactly the batch result — each event counted in
+    duration/slide windows, none double-emitted across triggers."""
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    got = jobs.run_to_memory(
+        spark, jobs.streaming_sliding_counts(stream), "sliding_mem"
+    )
+    expect = EW.sliding_counts(_batch_events(spark, events_stream_dir))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
 def test_streaming_session_equals_batch(spark, events_stream_dir):
     stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
     got = jobs.run_to_memory(
