@@ -51,17 +51,74 @@ def main() -> None:
         timings[qkey] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "qkey_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    payload = {
+        "metric": "qkey_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    scale2 = maybe_bench_sf1(spark, sf_dir, sf)
+    if scale2 is not None:
+        payload["scale2"] = scale2
+
+    print(json.dumps(payload))
+
+
+# Second series at ~10× the base SF (≈ sf1 when base is sf0.1): the
+# proof the plans scale, not just pass. Fact tables are replicated
+# with disjoint key universes (scripts/stress_scale.py); these keys
+# exercise scans, hash/broadcast joins, window funcs, subqueries, and
+# sorts on the 10× facts. documents/embeddings/events Qkeys are
+# excluded here — the blow-up does not scale those tables (their 10×
+# evidence is the stress table in BASELINE.md).
+SF1_KEYS = [
+    "scan_table", "filter_and", "group_agg", "group_agg_salted",
+    "equi_join", "join3", "q3_topk", "q5_local_suppliers",
+    "latest_per_key", "win_rank", "order_by", "top_k", "stats_agg",
+    "percentiles", "exists_subquery", "scalar_subquery",
+    "set_except_all", "arg_max",
+]
+
+
+def maybe_bench_sf1(spark, base_sf_dir: str, base_sf: float):
+    """Build (once, idempotent marker) and time the 10× series.
+    Disable with SPARK_GRAFT_SF1=0; relocate with SPARK_GRAFT_SF1_DIR."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfscaled")
+    copies = 10
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "stress_scale", os.path.join(REPO, "scripts", "stress_scale.py")
         )
-    )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        marker = os.path.join(out, f".built_{copies}")
+        if not os.path.exists(marker):
+            mod.build(spark, base_sf_dir, out, copies)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        timings: dict[str, float] = {}
+        for qkey in SF1_KEYS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(QUERIES[qkey](spark, out))
+                best = min(best, time.perf_counter() - t0)
+            timings[qkey] = round(best, 3)
+        return {
+            "sf": round(base_sf * copies, 3),
+            "copies": copies,
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+        }
+    except Exception as exc:  # bench must still emit the base line
+        return {"error": f"{type(exc).__name__}: {exc}"}
 
 
 if __name__ == "__main__":

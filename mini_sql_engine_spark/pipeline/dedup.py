@@ -100,13 +100,15 @@ def ngram_jaccard_pairs_capped(
     form you run when the corpus is large enough that stop-shingles
     would dominate the join. (Approximation: capped shingles are
     excluded from both intersection and union counts.)"""
-    ds = _doc_shingles(docs, n)
+    # the df-filtered inverted index feeds three consumers (sizes,
+    # both join sides) — materialize it once, same as the uncapped plan
+    raw = materialized(_doc_shingles(docs, n))
     rare = (
-        ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("shingle")
     )
-    ds = ds.join(rare, "shingle", "left_semi")
+    ds = materialized(raw.join(rare, "shingle", "left_semi"))
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = ds.alias("a"), ds.alias("b")
     pairs = (
