@@ -236,3 +236,23 @@ def test_quantile_zorder_balances_heavy_tailed_keys(spark):
     # 2 cols x 4 bits = 256 codes; fair share ~0.4% of rows per code
     assert lin > 0.05, lin    # linear: >5% of rows pile into one code
     assert qnt < 0.02, qnt    # equi-depth: every code under 2%
+
+
+def test_cli_runs_from_any_cwd(ref_dir, tmp_path):
+    """Packaging contract: the launcher script works with cwd OUTSIDE
+    the repo root (its own JVM; PYTHONPATH is derived from the script
+    location, not inherited)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    launcher = os.path.join(repo, "scripts", "mini-sql-engine-spark")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [launcher, "--data-dir", ref_dir, "SELECT A, C FROM table1 WHERE A > 2"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout.strip().splitlines()
+    assert out[0] == "table1.A,table1.C"
+    assert out[1:] == ["4,6"]
