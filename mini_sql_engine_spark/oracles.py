@@ -613,3 +613,114 @@ WITH c AS (
 SELECT c_nationkey, n_rich_cust, s_nationkey, n_rich_supp
 FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
 """
+
+# ───────────── round-2 surface extensions (§2.12) ─────────────
+
+ORACLES["q7_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= '1995-01-01' AND l_shipdate <= '1996-12-31'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+ORACLES["q10_returned"] = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["q14_promo"] = """
+SELECT CAST(100 AS DOUBLE)
+       * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l_discount AS DECIMAL(4,2))) END)
+              AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2))
+                     - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+"""
+
+ORACLES["q18_large_orders"] = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["listagg"] = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer GROUP BY c_nationkey
+"""
+
+ORACLES["gap_fill"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id),
+days AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+       coalesce(daily.cnt, 0) AS n_events
+FROM days d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day
+"""
+
+ORACLES["median_agg"] = """
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       median(l_linenumber) AS med_line,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["null_safe_join"] = """
+SELECT c_custkey, n_name
+FROM customer JOIN nation
+  ON nullif(c_nationkey, 0) IS NOT DISTINCT FROM nullif(n_nationkey, 0)
+"""
+
+ORACLES["win_first_last"] = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

@@ -233,3 +233,20 @@ def test_order_by_rank_has_no_data_scale_single_partition_window(spark):
         assert "_pid" in ln, f"row_number window not partition-keyed: {ln}"
     # distributed range exchange present (the ORDER BY shuffle shape)
     assert "rangepartitioning(" in p, p
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """EqualNullSafe is a legal equi-join key: the null-safe join must
+    plan as a broadcast HASH join, never nested-loop."""
+    p = plan(Q.null_safe_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_gap_fill_aggregates_before_explode(spark):
+    """The dense calendar comes from sequence+explode over per-user
+    aggregates — the plan must not contain a join (the naive
+    calendar-table shape) and shuffles only on user_id/day keys."""
+    p = plan(Q.gap_fill(spark, SF_SMOKE))
+    assert "Join" not in p, p
+    assert "Generate explode" in p or "Generate" in p, p
