@@ -71,3 +71,41 @@ def with_rank(
         .withColumn(alias, (F.col("_local") + F.col("_off")).cast("int"))
         .select(*df.columns, alias)
     )
+
+
+def with_running_total(
+    df: DataFrame, value_col: str, *keys: Column | str, alias: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach an inclusive global running total of ``value_col`` under
+    a total order — the distributed prefix-sum twin of ``with_rank``,
+    same scale plan: range-partition on the sort keys, per-partition
+    cumulative sum (parallel), then add each partition's exclusive
+    prefix of per-partition totals (an O(P) single-partition window
+    over ~32 rows, broadcast back). No data-size single-task stage.
+    Deterministic whenever ``keys`` form a total order.
+    """
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = base.withColumn("_local", F.sum(value_col).over(w_local))
+    totals = base.groupBy("_pid").agg(F.sum(value_col).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        s.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, F.col("_local") + F.col("_off"))
+        .select(*df.columns, alias)
+    )

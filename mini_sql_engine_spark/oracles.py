@@ -724,3 +724,45 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+# Packing/chunking share the whitespace tokenizer with token_counts.
+ORACLES["seq_pack"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (cum - n_tokens) // 512 AS pack_id,
+       (cum - n_tokens) % 512 AS pack_offset
+FROM c
+"""
+
+ORACLES["doc_chunks"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+n AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= 32 THEN 1
+              ELSE (n_tokens - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+       unnest(generate_series(0, n_chunks - 1)) * 24 AS chunk_start,
+       least(unnest(generate_series(0, n_chunks - 1)) * 24 + 32, n_tokens)
+         AS chunk_end
+FROM n
+"""

@@ -1194,6 +1194,29 @@ def win_first_last(spark, sf_dir):
     )
 
 
+def seq_pack(spark, sf_dir):
+    """Concat-then-split sequence packing (GPT-style pretraining
+    layout): each document's pack id + offset in the 512-token packed
+    stream, doc_id order. Distributed prefix-sum — range partition +
+    per-partition cumsum + O(P) offsets; no single-task window over
+    the data."""
+    from mini_sql_engine_spark.pipeline.packing import pack_sequences
+
+    return pack_sequences(Catalog(spark, sf_dir).table("documents"),
+                          max_tokens=512)
+
+
+def doc_chunks(spark, sf_dir):
+    """Overlapping token windows (RAG/embedding chunking): 32-token
+    chunks, stride 24 (sized so the synthetic ≤100-token docs emit
+    multiple overlapping chunks), last chunk clipped. Per-row
+    arithmetic + sequence/explode — no shuffle at all."""
+    from mini_sql_engine_spark.pipeline.packing import chunk_documents
+
+    return chunk_documents(Catalog(spark, sf_dir).table("documents"),
+                           chunk_tokens=32, stride=24)
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in round 1). There
 # are 68 hash-checked keys, so no single run can green them all;
@@ -1236,6 +1259,8 @@ QUERIES: dict[str, QueryFn] = {
     "median_agg": median_agg,
     "null_safe_join": null_safe_join,
     "win_first_last": win_first_last,
+    "seq_pack": seq_pack,
+    "doc_chunks": doc_chunks,
     # — hash-checked, driver-green in round 1 —
     "scan_table": scan_table,
     "project_cols": project_cols,
