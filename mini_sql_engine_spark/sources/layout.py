@@ -157,3 +157,33 @@ def file_skipping_ratio(path: str, col: str, lo, hi) -> float:
         if not overlaps:
             skipped += 1
     return skipped / len(files)
+
+
+def compact_files(
+    spark, path: str, out_path: str, target_file_mb: int = 256
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files — the maintenance job every streaming /
+    incremental-ingest table needs (a 100 TB table fed by thousands of
+    micro-batches degrades into millions of KB-scale files whose
+    open/footer costs dominate scans).
+
+    File count = ceil(input bytes / target). The rewrite uses
+    ``repartition(n)`` (round-robin) — balanced outputs without a
+    range sample; pair with ``zorder_write`` when the table also
+    wants clustering. Input size comes from the file listing, not a
+    data scan. Returns the number of files written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

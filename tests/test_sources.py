@@ -256,3 +256,70 @@ def test_cli_runs_from_any_cwd(ref_dir, tmp_path):
     out = proc.stdout.strip().splitlines()
     assert out[0] == "table1.A,table1.C"
     assert out[1:] == ["4,6"]
+
+
+def test_dynamic_partition_pruning_from_filtered_dim(spark, tmp_path):
+    """The 100 TB star-join staple: fact partitioned by day, dim
+    filtered at runtime → the fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters (only matching day directories
+    are read), not scan all partitions.
+
+    Two DPP preconditions this test pins (both found empirically —
+    violating either silently disables pruning):
+    - the dim predicate must be comparison-shaped: the optimizer's
+      `isLikelySelective` heuristic rejects a bare boolean attribute
+      filter (``.filter(F.col("is_hot"))`` → no DPP);
+    - the join key types must match EXACTLY — partition-directory
+      type inference reads ``day=2024-01-03`` back as DATE, and a
+      cast inserted over the partition column kills the rewrite, so
+      the dim side is cast to the fact's inferred type first."""
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.sources.sinks import write_partitioned
+
+    ev = (
+        Catalog(spark, "/root/testdata/sf0.001").table("events")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    fact = str(tmp_path / "events_by_day")
+    write_partitioned(ev, fact, ["day"])
+    dim = (
+        ev.select("day").distinct()
+        .withColumn("dom", F.dayofmonth(F.to_date("day")))
+    )
+    dim_path = str(tmp_path / "days")
+    dim.write.parquet(dim_path)
+
+    f = spark.read.parquet(fact)
+    day_type = dict(f.dtypes)["day"]
+    d = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("dom") <= 3)
+        .withColumn("day", F.col("day").cast(day_type))
+    )
+    joined = f.join(d, "day").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r.event_type: r["count"] for r in joined.collect()}
+    # oracle: recompute without the partitioned layout
+    want = {
+        r.event_type: r["count"]
+        for r in ev.filter(F.dayofmonth(F.to_date("day")) <= 3)
+        .groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_compact_files_hits_target_count(spark, tmp_path):
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.sources.layout import compact_files
+
+    li = Catalog(spark, "/root/testdata/sf0.001").table("lineitem")
+    src = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(src)  # 64 tiny files
+    out = str(tmp_path / "compacted")
+    n = compact_files(spark, src, out, target_file_mb=256)
+    assert n == 1  # tiny table → one file target
+    import glob
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n
+    assert spark.read.parquet(out).count() == li.count()
