@@ -9,8 +9,15 @@ decimals). Integer outputs are BIGINT on both sides.
 Keys intentionally ABSENT (rows-only contract — no faithful DuckDB
 twin; validated instead by pytest numpy/python oracles, see tests/):
 dedup_near, dedup_simhash, dedup_embed, sim_topk, sim_ann, sim_ivf,
-lang_id, doc_fingerprint, multimodal_features, percentiles_approx,
-user_ewma, corpus_clean, corpus_sample.
+lang_id, doc_fingerprint, multimodal_features, user_ewma,
+corpus_clean, corpus_sample.
+
+HUGEINT discipline (the round-2 seq_pack lesson): DuckDB widens
+``sum(BIGINT)`` — including window sums and ``sum(CASE …)`` — to
+HUGEINT, whose values the driver's hasher renders differently from
+Spark's BIGINT. Every integer OUTPUT column derived from a sum is
+``CAST(... AS BIGINT)``; sums used only as grouping keys or in
+comparisons don't need it.
 """
 
 from __future__ import annotations
@@ -741,8 +748,8 @@ c AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       (cum - n_tokens) // 512 AS pack_id,
-       (cum - n_tokens) % 512 AS pack_offset
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
 FROM c
 """
 
@@ -765,4 +772,274 @@ SELECT doc_id, n_tokens,
        least(unnest(generate_series(0, n_chunks - 1)) * 24 + 32, n_tokens)
          AS chunk_end
 FROM n
+"""
+
+# ───────────── round-3 surface extensions (§2.13) ─────────────
+# The remaining TPC-H shapes adapted to this schema (no partsupp /
+# l_shipmode / l_commitdate / c_phone), plus sessionization, PII
+# scrubbing, histogram, and repetition-quality gates.
+
+ORACLES["percentiles_approx"] = """
+SELECT l_returnflag, count(*) AS n_rows,
+       TRUE AS ok_p50, TRUE AS ok_p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q2_min_cost"] = """
+WITH offers AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10
+),
+best AS (
+  SELECT p_partkey AS bk, min(unit_price) AS best_price
+  FROM offers GROUP BY p_partkey
+)
+SELECT DISTINCT p_partkey, p_name, s_name, n_name, best_price
+FROM offers
+JOIN best ON p_partkey = bk AND unit_price = best_price
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+ORACLES["q4_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q6_forecast"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q8_market_share"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(4,2))) END)
+            AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2))
+                     - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= '1995-01-01' AND o_orderdate <= '1996-12-31'
+GROUP BY year(o_orderdate)
+"""
+
+ORACLES["q9_profit"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+ORACLES["q11_top_value"] = """
+WITH base AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_dec
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 1
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM base
+WHERE val_dec > (SELECT sum(val_dec) FROM base) * CAST('0.002' AS DECIMAL(6,3))
+"""
+
+ORACLES["q12_shipmode"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+ORACLES["q13_cust_orders"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+ORACLES["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLES["q17_small_qty"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+  AND l_quantity < 0.5 * (
+    SELECT sum(l2.l_quantity) / count(*)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+ORACLES["q19_disc_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+ORACLES["q20_excess"] = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey = 2
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'LARGE')
+      AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 60
+  )
+"""
+
+ORACLES["q21_waiting"] = """
+SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN orders ON l1.l_orderkey = o_orderkey
+WHERE s_nationkey = 0 AND o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+ORACLES["q22_idle"] = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9)
+  AND c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+ORACLES["sessionize"] = """
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_seq
+FROM marked
+"""
+
+ORACLES["pii_scrub"] = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+            + len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+         AS n_pii,
+       regexp_replace(
+         regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+FROM d
+"""
+
+ORACLES["histogram"] = """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY floor(o_totalprice / 50000.0)
+"""
+
+ORACLES["repetition_filter"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct,
+       1.0::DOUBLE - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS dup_ratio,
+       (1.0::DOUBLE - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         <= 0.8 AS keep
+FROM t
 """
