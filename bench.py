@@ -57,13 +57,22 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "scale2_file": "BENCH_SCALE.json",
     }
+
+    # ONE compact line, FIRST, flushed — round 2's artifact was
+    # truncated because the 10x scale series ran before the print and
+    # its results were embedded in the same (now huge) line. The
+    # scale series now runs after the contract line is already out,
+    # and lands in BENCH_SCALE.json (committed) instead of stdout.
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
     scale2 = maybe_bench_sf1(spark, sf_dir, sf)
     if scale2 is not None:
-        payload["scale2"] = scale2
-
-    print(json.dumps(payload))
+        with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as fh:
+            json.dump(scale2, fh, indent=1)
+        print(json.dumps({"scale2": scale2}, separators=(",", ":")),
+              file=sys.stderr, flush=True)
 
 
 # Second series at ~10× the base SF (≈ sf1 when base is sf0.1): the
@@ -79,6 +88,11 @@ SF1_KEYS = [
     "latest_per_key", "win_rank", "order_by", "top_k", "stats_agg",
     "percentiles", "exists_subquery", "scalar_subquery",
     "set_except_all", "arg_max",
+    # round-3 shapes on the replicated facts: scan-agg, left-join
+    # histogram, OR-of-ANDs broadcast join, EXISTS/NOT-EXISTS
+    # self-join — the shapes most likely to go super-linear if
+    # mis-planned
+    "q6_forecast", "q13_cust_orders", "q19_disc_revenue", "q21_waiting",
 ]
 
 

@@ -70,6 +70,47 @@ def streaming_dedup(
     )
 
 
+def take_per_key_gs(
+    df: DataFrame,
+    key_cols: list[str],
+    limit: int,
+) -> DataFrame:
+    """Per-key quota on the ``applyInPandasWithState`` API (GroupState
+    — Spark 3.x-compatible, no protobuf dependency): same semantics as
+    :func:`take_per_key` — at most ``limit`` rows per key over the
+    stream's lifetime, counter state carried across micro-batches.
+
+    This is the execution fallback where the 4.x
+    ``transformWithStateInPandas`` worker protocol's protobuf runtime
+    dependency is unavailable (as in this container) — and the e2e
+    coverage for the quota semantics runs through it. The 4.x variant
+    stays the primary: named state + TTL + timers are what a drifting
+    key space needs at 100 TB.
+    """
+
+    def quota(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # NoTimeout → unreachable; keeps shape
+            state.remove()
+            return
+        taken = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if taken >= limit:
+                break
+            out = pdf.iloc[: limit - taken]
+            taken += len(out)
+            if len(out):
+                yield out
+        state.update((taken,))
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        quota,
+        outputStructType=df.schema,
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class _TakePerKey(StatefulProcessor):
     """Emit at most ``limit`` rows per key over the stream's lifetime.
     State: one bigint counter per key."""

@@ -250,3 +250,59 @@ def test_gap_fill_aggregates_before_explode(spark):
     p = plan(Q.gap_fill(spark, SF_SMOKE))
     assert "Join" not in p, p
     assert "Generate explode" in p or "Generate" in p, p
+
+
+ROUND3_KEYS = [
+    "q2_min_cost", "q4_priority", "q6_forecast", "q8_market_share",
+    "q9_profit", "q11_top_value", "q12_shipmode", "q13_cust_orders",
+    "q15_top_supplier", "q17_small_qty", "q19_disc_revenue", "q20_excess",
+    "q21_waiting", "q22_idle", "sessionize", "pii_scrub", "histogram",
+    "repetition_filter",
+]
+
+# Inequality scalar-subquery thresholds (val > total·f, bal > avg)
+# cannot be hash-join keys: their 1-row broadcast compare is the one
+# legal BroadcastNestedLoopJoin shape (build side is a single row, so
+# the "loop" is one comparison per probe row). Everything else must
+# hash-join. (q15's equality threshold is recovered into a
+# BroadcastHashJoin by Catalyst — asserted below.)
+SCALAR_NLJ_OK = {"q11_top_value", "q22_idle"}
+
+
+def test_round3_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND3_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_q21_correlated_subqueries_plan_as_semi_anti_hash_joins(spark):
+    """The EXISTS / NOT-EXISTS pair must become left-semi and
+    left-anti HASH joins on the orderkey — the shape that survives
+    100 TB; a nested-loop here is quadratic in order size."""
+    p = plan(Q.q21_waiting(spark, SF_SMOKE))
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q15_equality_threshold_recovered_as_hash_join(spark):
+    """total_revenue = (scalar max) is an equality on a 1-row
+    broadcast: Catalyst must recover it into a BroadcastHashJoin, not
+    leave a nested-loop filter."""
+    p = plan(Q.q15_top_supplier(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q6_predicates_reach_scan(spark):
+    """Q6 is the canonical pushdown probe: all three filters must
+    appear in PushedFilters on the lineitem parquet scan."""
+    p = formatted(Q.q6_forecast(spark, SF_SMOKE))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    line = pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in line, (frag, line)

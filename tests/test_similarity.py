@@ -143,15 +143,27 @@ def test_cosine_dup_pairs_recall_on_planted_neardups(spark):
 def test_ivf_topk_recall(spark, emb_np):
     """IVF with 8/32 probes must beat plain-bucket recall and carry
     exact cosines for every hit (32 cells, probe 8 -> ~25% of corpus
-    scored per query)."""
+    scored per query). The k-means-refined quantizer must beat the
+    raw hash-subsample quantizer at the same probe budget — the whole
+    point of training the centroids (deterministic: hash-ordered
+    sample, argmax ties to lowest index)."""
     e = Catalog(spark, SF_SMOKE).table("embeddings")
     q = e.filter(F.col("vec_id") < 20)
     exact = SIM.brute_force_topk(e, q, k=10).collect()
-    approx = SIM.ivf_topk(e, q, k=10, n_cells=32, n_probe=8).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
-    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+    def recall(iters):
+        approx = SIM.ivf_topk(e, q, k=10, n_cells=32, n_probe=8,
+                              kmeans_iters=iters).collect()
+        got = {(r.query_id, r.neighbor_id) for r in approx}
+        return len(exact_set & got) / len(exact_set), approx
+
+    r_seed, _ = recall(0)
+    r_kmeans, approx = recall(4)
+    assert r_kmeans >= 0.6, f"IVF recall {r_kmeans:.2f} too low"
+    assert r_kmeans >= r_seed + 0.05, (
+        f"k-means refinement didn't help: {r_kmeans:.2f} vs seed {r_seed:.2f}"
+    )
     exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
     for r in approx:
         key = (r.query_id, r.neighbor_id)

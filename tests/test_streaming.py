@@ -245,6 +245,37 @@ def test_take_per_key_quota(spark, events_stream_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def test_take_per_key_gs_quota(spark, events_stream_dir):
+    """Protobuf-free quota e2e: the applyInPandasWithState fallback
+    (GroupState counter) must enforce the same per-key cap across
+    micro-batches — exactly min(limit, n_rows(user)) rows emitted per
+    user. This is the real end-to-end coverage for the quota
+    semantics in this container, where transformWithStateInPandas's
+    worker protocol dependency (protobuf) is absent."""
+    from mini_sql_engine_spark.streaming.stateful import take_per_key_gs
+
+    limit = 3
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=1)
+    q = (
+        take_per_key_gs(stream, ["user_id"], limit)
+        .writeStream.format("memory")
+        .queryName("quota_gs_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r["count"]
+           for r in spark.table("quota_gs_mem").groupBy("user_id").count().collect()}
+    expect = {
+        r.user_id: min(limit, r["count"])
+        for r in _batch_events(spark, events_stream_dir)
+        .groupBy("user_id").count().collect()
+    }
+    assert got == expect
+    assert max(got.values()) <= limit
+
+
 def test_streaming_parquet_sink_append_with_watermark(spark, events_stream_dir, tmp_path):
     """Durable sink: append-mode windowed counts emit exactly the
     windows the watermark has finalized (end <= max_ts - 1h); the
