@@ -1043,3 +1043,128 @@ SELECT doc_id, n_tokens, n_distinct,
          <= 0.8 AS keep
 FROM t
 """
+
+# ───────────── round-4 surface extensions (§2.14) ─────────────
+# Transitive dedup closure, corpus hygiene (contamination / mixing),
+# MERGE/SCD, rank-filter top-k, distributed exact ntile, HLL sketch
+# certificate.
+
+ORACLES["dedup_cc"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges0 AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.6
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges0
+  UNION ALL
+  SELECT doc_b, doc_a FROM edges0
+), reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY node
+"""
+
+ORACLES["contamination"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM sh c JOIN bench b USING (shingle)
+WHERE c.doc_id % 97 <> 0
+GROUP BY c.doc_id
+"""
+
+ORACLES["corpus_mix"] = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(text), 1, 8) <
+      CASE lang WHEN 'en' THEN '20000000'
+                WHEN 'zh' THEN '80000000'
+                ELSE 'g' END
+"""
+
+ORACLES["merge_upsert"] = """
+WITH upd AS (
+  SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+  FROM orders
+  WHERE o_orderdate >= '1998-01-01'
+  GROUP BY 1
+)
+SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+       COALESCE(b.c_name, 'new customer') AS c_name,
+       COALESCE(b.c_nationkey, -1) AS c_nationkey,
+       COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+       COALESCE(b.c_mktsegment, 'UNKNOWN') AS c_mktsegment
+FROM customer b
+FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+"""
+
+ORACLES["scd2_history"] = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(COALESCE(lead(o_orderdate) OVER w,
+                         TIMESTAMP '9999-12-31 00:00:00'),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+ORACLES["topk_per_group"] = """
+WITH ranked AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, rnk, c_custkey, c_acctbal FROM ranked WHERE rnk <= 3
+"""
+
+ORACLES["ntile_bucket"] = """
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM t GROUP BY bucket
+"""
+
+ORACLES["hll_distinct"] = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt,
+       TRUE AS ok
+FROM lineitem GROUP BY l_returnflag
+"""

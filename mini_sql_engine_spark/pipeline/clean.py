@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mini_sql_engine_spark.functions.text import bind_once, tokens
+from mini_sql_engine_spark.functions.text import bind_once, shingles, tokens
 from mini_sql_engine_spark.pipeline.dedup import exact_dedup, minhash_lsh_candidates
 
 
@@ -106,3 +106,70 @@ def stratified_sample(
     domain = [r[0] for r in docs.select(strata_col).distinct().collect()]
     full = {v: float(fractions.get(v, default_fraction)) for v in domain}
     return docs.sampleBy(strata_col, full, seed=seed)
+
+
+def benchmark_contamination(
+    docs: DataFrame, bench: DataFrame, n: int = 3
+) -> DataFrame:
+    """Eval-set contamination scan: for every corpus document, the
+    number of distinct word n-grams it shares with ANY benchmark
+    document. Docs with overlap must be quarantined before training or
+    the benchmark is compromised.
+
+    Scale plan: the benchmark side is tiny relative to the corpus
+    (10³–10⁵ eval items vs 10⁹ docs), so its distinct shingle set is
+    BROADCAST — the corpus is scanned exactly once with a map-side
+    hash probe, no shuffle of corpus data. Per-doc shingle dedup
+    happens inside the row (``array_distinct`` before explode), so
+    the only exchange is the final per-doc count aggregation, which
+    has map-side combine.
+    """
+    corpus_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), n))).alias("shingle"),
+    )
+    bench_sh = bench.select(
+        F.explode(shingles(tokens("text"), n)).alias("shingle")
+    ).distinct()
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def hash_mix(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    text_col: str = "text",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: keep each row with its
+    stratum's target rate, decided by the row's own CONTENT hash
+    rather than an RNG — ``keep iff md5(text)[0:8] < hex(rate·16⁸)``.
+
+    Why content-hashed instead of ``sampleBy``: (a) the decision is a
+    pure per-row expression — reproducible across engines, Spark
+    versions, partitionings, and reruns (seeded ``sampleBy`` is only
+    stable within one Spark version); (b) duplicate texts land on the
+    same side of the cut, so mixing composes with dedup instead of
+    re-introducing randomness between pipeline stages. This is the
+    standard trick for train/holdout splits of web corpora.
+
+    Map-side filter, no shuffle. An 8-hex-digit prefix gives rate
+    granularity of 2⁻³², plenty for mixing ratios. Comparison is
+    lexicographic on fixed-width lower-case hex = numeric compare;
+    rate ≥ 1.0 maps to sentinel ``'g'`` which is greater than every
+    hex digit, keeping all rows.
+    """
+    def thr(rate: float) -> str:
+        return "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+
+    threshold = F.lit(thr(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(thr(rate))
+        ).otherwise(threshold)
+    prefix = F.substring(F.md5(F.col(text_col).cast("binary")), 1, 8)
+    return docs.filter(prefix < threshold)
