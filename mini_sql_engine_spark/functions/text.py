@@ -219,10 +219,15 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def doc_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    hash every k-token shingle (xxhash64 — JVM built-in, seed-stable),
-    then keep the minimum hash in every sliding window of ``window``
-    consecutive shingle hashes. Output: distinct-fingerprint stats per
-    doc.
+    hash every k-token shingle, then keep the minimum hash in every
+    sliding window of ``window`` consecutive shingle hashes. Output:
+    distinct-fingerprint stats per doc.
+
+    The shingle hash is the 16-hex-digit md5 prefix as a STRING:
+    winnowing only needs a uniform hash with a total order, and
+    lexicographic min on fixed-width lower-case hex = numeric min —
+    identically computable by any engine (the DuckDB twin hash-checks
+    this op; xxhash64 would be JVM-only). Still a codegen built-in.
 
     Exploded-row plan: shingle hashes become (doc_id, pos, h) rows and
     the sliding min is a frame aggregate over a per-doc window — each
@@ -237,7 +242,10 @@ def doc_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.posexplode(shingles(tokens("text"), k)).alias("pos", "shingle"),
-    ).select("doc_id", "pos", F.xxhash64("shingle").alias("h"))
+    ).select(
+        "doc_id", "pos",
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 16).alias("h"),
+    )
     per_doc = Window.partitionBy("doc_id")
     w_frame = per_doc.orderBy("pos").rowsBetween(0, window - 1)
     mins = (

@@ -8,9 +8,11 @@ decimals). Integer outputs are BIGINT on both sides.
 
 Keys intentionally ABSENT (rows-only contract — no faithful DuckDB
 twin; validated instead by pytest numpy/python oracles, see tests/):
-dedup_near, dedup_simhash, dedup_embed, sim_topk, sim_ann, sim_ivf,
-lang_id, doc_fingerprint, multimodal_features, user_ewma,
-corpus_clean, corpus_sample.
+dedup_near, dedup_simhash, dedup_embed (xxhash64/LSH-seeded),
+sim_topk, sim_ann, sim_ivf (float dot-product accumulation order),
+multimodal_features (binary UDF path), user_ewma (order-dependent
+recurrence), corpus_clean (contains the LSH stage), corpus_sample
+(Spark-RNG ``sampleBy``).
 
 HUGEINT discipline (the round-2 seq_pack lesson): DuckDB widens
 ``sum(BIGINT)`` — including window sums and ``sum(CASE …)`` — to
@@ -1167,4 +1169,60 @@ SELECT l_returnflag,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt,
        TRUE AS ok
 FROM lineitem GROUP BY l_returnflag
+"""
+
+# ── rows-only → hash-checked conversions (round 4) ──────────────
+# lang_id's scoring is pure marker-set arithmetic and doc_fingerprint
+# now hashes with an md5 hex prefix — both exactly replicable in SQL.
+
+from mini_sql_engine_spark.functions.text import LANG_MARKERS  # noqa: E402
+
+# argmax with the SAME total order as functions.text.lang_id:
+# (score, rank, code) struct max, rank giving the alphabetically-first
+# code the win on score ties. Struct comparison is field-order
+# lexicographic in both engines.
+_rank = {c: i for i, c in enumerate(sorted(LANG_MARKERS, reverse=True))}
+_structs = ",\n    ".join(
+    "struct_pack(score := len(list_filter(tk, t -> list_contains([{m}], t))), "
+    "rank := {r}, code := '{c}')".format(
+        m=", ".join(f"'{t}'" for t in LANG_MARKERS[c]), r=_rank[c], c=c
+    )
+    for c in sorted(LANG_MARKERS)
+)
+ORACLES["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id, lang,
+       list_aggregate([
+    {_structs}
+  ], 'max').code AS lang_pred
+FROM t
+"""
+del _rank, _structs
+
+ORACLES["doc_fingerprint"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 16) AS h
+  FROM toks, (SELECT unnest(generate_series(1, len(tk) - 2)) AS i)
+  WHERE len(tk) >= 3
+), framed AS (
+  SELECT doc_id, pos, h,
+         count(*) OVER (PARTITION BY doc_id) AS n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+  FROM sh
+), mins AS (
+  SELECT DISTINCT doc_id, win_min FROM framed
+  WHERE pos <= n - 4 OR pos = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       min(win_min) AS min_fingerprint
+FROM mins GROUP BY doc_id
 """

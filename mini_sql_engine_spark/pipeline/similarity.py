@@ -176,7 +176,8 @@ def _gemm_pairs(
     vectors: DataFrame,
     threshold: float,
     key_cols: list[str],
-    n_blocks: int,
+    n_blocks: int | None,
+    target_block: int = 2048,
 ) -> DataFrame:
     """Pairwise cosine ≥ t within each ``key_cols`` group via block
     matrix multiply — the shared scoring kernel for both the exact
@@ -184,14 +185,23 @@ def _gemm_pairs(
     LSH-bucketed path (``key_cols=["table", "bucket"]``: one group per
     bucket).
 
-    Per group: hash ids into ``n_blocks`` sub-blocks, gather each
-    sub-block's vectors into one row, join the B·(B+1)/2 block pairs,
-    and score each pair with ONE numpy matmul inside ``mapInPandas``
-    (Arrow batches, BLAS inner loop) — dense GEMMs instead of
-    interpreted per-pair expressions (measured ~20×). ``n_blocks``
-    bounds task memory: a block pair holds ~2·(group size)/B vectors,
-    so raise it when groups are large (exact path) and keep it small
-    when the group is already a fine LSH bucket.
+    Per group: hash ids into sub-blocks, gather each sub-block's
+    vectors into one row, join the B·(B+1)/2 block pairs, and score
+    each pair with ONE numpy matmul inside ``mapInPandas`` (Arrow
+    batches, BLAS inner loop) — dense GEMMs instead of interpreted
+    per-pair expressions (measured ~20×). The block count bounds task
+    memory: a block pair holds ~2·(group size)/B vectors.
+
+    ``n_blocks=None`` (the LSH-path default) sizes B PER GROUP from
+    the group's row count: B = ceil(size / target_block), so small
+    buckets stay ONE GEMM (a fixed B taxes every tiny bucket with
+    B·(B+1)/2 near-empty block-pair tasks — measured 2× suite-level
+    overhead at sf0.1) while hot buckets still split enough that a
+    block pair's two matrices stay ~2·target_block vectors regardless
+    of skew. The size census is one count per group — bucket-count
+    scale (≤ tables·2^planes rows), broadcast back. A fixed
+    ``n_blocks`` is for the exact path, where the single global
+    group's size is known to the caller.
 
     Within a group each unordered pair is emitted exactly once:
     same-block matrices keep the id_a < id_b triangle; cross-block
@@ -202,10 +212,21 @@ def _gemm_pairs(
     Input contract: ``vectors`` has columns ``key_cols + [vid, vec]``.
     """
     items = F.struct(F.col("vid"), F.col("vec"))
+    if n_blocks is None:
+        if not key_cols:
+            raise ValueError("adaptive blocks need key_cols (grouped path)")
+        sizes = vectors.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_gn"))
+        nb = F.greatest(
+            F.lit(1), F.ceil(F.col("_gn") / F.lit(target_block))
+        ).cast("long")
+        vectors = vectors.join(F.broadcast(sizes), key_cols).withColumn(
+            "_bid", F.pmod(F.xxhash64(F.col("vid")), nb)
+        )
+        bid = F.col("_bid")
+    else:
+        bid = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks))
     blocks = (
-        vectors.select(*key_cols,
-                       F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).alias("bid"),
-                       items.alias("item"))
+        vectors.select(*key_cols, bid.alias("bid"), items.alias("item"))
         .groupBy(*key_cols, "bid")
         .agg(F.collect_list("item").alias("items"))
     )
@@ -417,16 +438,17 @@ def cosine_dup_pairs(
     P[all 8 bits agree] ≈ (1−26/180)^8 ≈ 0.29, so 8 tables give
     recall ≈ 1−(1−0.29)^8 ≈ 0.94 — gated ≥ 0.9 by
     tests/test_similarity.py on planted near-dups. Cost per table is
-    ~N²/2^b pair work, all keyed shuffles, no all-pairs stage;
-    ``n_blocks`` sub-splits hot buckets so task memory stays bounded
-    even when the corpus piles into few buckets."""
+    ~N²/2^b pair work, all keyed shuffles, no all-pairs stage; block
+    counts adapt per bucket (``_gemm_pairs`` with ``n_blocks=None``)
+    so hot buckets split for bounded task memory while typical
+    buckets stay one GEMM each."""
     if exact:
         return _blocked_exact_pairs(embeddings, threshold, vec_col, id_col)
     base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     sk = multi_table_buckets(base, n_planes, n_tables, "vec")
     pairs = _gemm_pairs(
         sk.select("table", "bucket", "vid", "vec"),
-        threshold, ["table", "bucket"], n_blocks=4,
+        threshold, ["table", "bucket"], n_blocks=None,
     )
     # a pair colliding in several tables scores identically in each —
     # keep one row

@@ -974,12 +974,18 @@ def tfidf(spark, sf_dir):
 
 
 def lang_id(spark, sf_dir):
-    """Heuristic language ID — rows-only (accuracy fixture in tests)."""
+    """Heuristic language ID — hash-checked: the marker-set scoring
+    and the (score, rank, code) struct-max tie-break are exact integer
+    arithmetic, replicated in the DuckDB twin from the same
+    LANG_MARKERS table."""
     return TX.lang_id(Catalog(spark, sf_dir).table("documents"))
 
 
 def doc_fingerprint(spark, sf_dir):
-    """Winnowing fingerprints — rows-only (determinism tests)."""
+    """Winnowing fingerprints — hash-checked: shingle hashes are
+    16-hex-digit md5 prefixes (engine-portable, lexicographic min =
+    numeric min), so the sliding-window min is exactly replicable in
+    SQL."""
     return TX.doc_fingerprints(Catalog(spark, sf_dir).table("documents"))
 
 
@@ -1980,6 +1986,9 @@ QUERIES: dict[str, QueryFn] = {
     "topk_per_group": topk_per_group,
     "ntile_bucket": ntile_bucket,
     "hll_distinct": hll_distinct,
+    #   (rows-only → hash-checked conversions, round 4)
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
     # — rows-only keys (no SQL oracle; numpy/pytest oracles) —
     "user_ewma": user_ewma,
     "dedup_near": dedup_near,
@@ -1988,8 +1997,6 @@ QUERIES: dict[str, QueryFn] = {
     "sim_topk": sim_topk,
     "sim_ann": sim_ann,
     "sim_ivf": sim_ivf,
-    "lang_id": lang_id,
-    "doc_fingerprint": doc_fingerprint,
     "corpus_clean": corpus_clean,
     "corpus_sample": corpus_sample,
     "multimodal_features": multimodal_features,
