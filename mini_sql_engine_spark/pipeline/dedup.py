@@ -100,15 +100,21 @@ def ngram_jaccard_pairs_capped(
     form you run when the corpus is large enough that stop-shingles
     would dominate the join. (Approximation: capped shingles are
     excluded from both intersection and union counts.)"""
-    # the df-filtered inverted index feeds three consumers (sizes,
-    # both join sides) — materialize it once, same as the uncapped plan
-    raw = materialized(_doc_shingles(docs, n))
-    rare = (
-        raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+    from pyspark.sql.window import Window
+
+    # df-cap via a count window over the shingle key: ONE shuffle
+    # builds the inverted index AND its document frequencies (the
+    # agg + semi-join formulation shuffles the exploded rows twice and
+    # needs an extra checkpoint of the raw index; measured ~2× slower
+    # at sf0.1). The filtered index feeds three consumers (sizes, both
+    # join sides) — materialize it once, same as the uncapped plan.
+    w = Window.partitionBy("shingle")
+    ds = materialized(
+        _doc_shingles(docs, n)
+        .withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
-    ds = materialized(raw.join(rare, "shingle", "left_semi"))
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = ds.alias("a"), ds.alias("b")
     pairs = (

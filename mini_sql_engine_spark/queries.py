@@ -1713,9 +1713,12 @@ def dedup_cc(spark, sf_dir):
     every doc in the pair graph labeled with its cluster representative
     (min doc_id in the component). Iterative min-label propagation as
     DataFrame joins (pipeline.graph); the DuckDB twin is a recursive
-    CTE over the identical edge set."""
+    CTE over the identical edge set. Pair generation runs the
+    df-capped inverted index (the at-scale form; the cap provably
+    changes nothing here — the uncapped oracle still hash-matches,
+    same argument as `dedup_ngram`)."""
     docs = Catalog(spark, sf_dir).table("documents")
-    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+    pairs = DD.ngram_jaccard_pairs_capped(docs, n=3, threshold=0.6)
     return GR.dedup_clusters(pairs.select("doc_a", "doc_b"))
 
 

@@ -66,6 +66,54 @@ def streaming_session_counts(
     )
 
 
+def streaming_enriched_counts(
+    events: DataFrame,
+    user_dim: DataFrame,
+    duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream–static enrichment (the feature-lookup shape): each
+    micro-batch joins the stream against a STATIC dimension — no
+    state, no watermark interplay; Spark re-plans the static side per
+    batch, and with the broadcast hint the join is a map-side hash
+    probe (the dimension never shuffles the stream). The canonical
+    production pattern for attaching user/feature attributes before a
+    windowed aggregation.
+
+    ``user_dim``: static (user_id, segment) — e.g. a feature-store
+    snapshot. Left join: events with unknown users keep flowing with a
+    NULL segment rather than being dropped.
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(user_dim), "user_id", "left"
+    )
+    return (
+        enriched.groupBy(F.window("ts", duration).alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             event_windows.exact_value_sum())
+        .select(
+            event_windows._fmt(F.col("w.start")).alias("win_start"),
+            "segment", "n_events", "sum_value",
+        )
+    )
+
+
+def user_segment_dim(events_batch: DataFrame) -> DataFrame:
+    """Static user dimension derived from history: activity-tier
+    segment per user (the kind of snapshot a feature store serves).
+    Deterministic: tiers from exact event counts."""
+    return (
+        events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.when(F.col("_n") >= 20, "heavy")
+            .when(F.col("_n") >= 5, "regular")
+            .otherwise("light").alias("segment"),
+        )
+    )
+
+
 def streaming_interval_join(
     clicks: DataFrame,
     views: DataFrame,

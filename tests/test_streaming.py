@@ -396,3 +396,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # day-1 window: exactly one row, only the on-time event counted;
     # the day-3 window is still open at stream end and must NOT appear
     assert got == [("2024-01-01 00:00:00", "click", 1, 1.0)]
+
+
+def test_streaming_enrichment_equals_batch_and_broadcasts(spark, events_stream_dir):
+    """Stream–static feature-lookup join: identical results to the
+    batch formulation, and the static dimension must enter the
+    micro-batch plan as a broadcast (the stream side never shuffles
+    for the join)."""
+    batch = _batch_events(spark, events_stream_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dim = jobs.user_segment_dim(batch)
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    got = jobs.run_to_memory(
+        spark, jobs.streaming_enriched_counts(stream, dim), "enriched_mem"
+    )
+    # same transformation on the batch frame (withWatermark is a
+    # no-op outside streaming) — the two front doors must agree
+    expect = jobs.streaming_enriched_counts(batch, dim)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    p = expect._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
