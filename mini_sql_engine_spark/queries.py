@@ -1707,6 +1707,32 @@ def repetition_filter(spark, sf_dir):
 # ───────────── §2.14 round-4 surface extensions ─────────────
 
 
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part attribute): parts
+    filtered by brand exclusion + NOT LIKE on type + size IN-list; the
+    distinct (l_partkey, l_suppkey) lineitem bridge stands in for
+    partsupp; "complaint" suppliers (negative balance stand-in)
+    removed via NOT IN. Plan: filtered part broadcasts into the
+    bridge, the exclusion list is a broadcast left-anti, then one
+    keyed shuffle for the distinct-supplier count."""
+    cat = Catalog(spark, sf_dir)
+    p = cat.table("part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = cat.table("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    bridge = cat.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
 def dedup_cc(spark, sf_dir):
     """Transitive near-dup clustering: exact n-gram Jaccard pairs
     (the hash-checked `dedup_ngram` graph) closed under connectivity —
@@ -1981,6 +2007,7 @@ QUERIES: dict[str, QueryFn] = {
     # — (d) hash-checked, new in round 4 (§2.14): after the cap this
     #   round (the front-50 must finish the r2∪r3 union first); they
     #   move into the front-50 next round —
+    "q16_supplier_cnt": q16_supplier_cnt,
     "dedup_cc": dedup_cc,
     "contamination": contamination,
     "corpus_mix": corpus_mix,
