@@ -27,19 +27,36 @@ def merge_upsert(
     insert_defaults: dict[str, Column] | None = None,
     broadcast_updates: bool = False,
 ) -> DataFrame:
-    """SCD-1 MERGE: one full-outer join on ``keys``.
+    """SCD-1 MERGE of a changelog into a snapshot:
 
     - matched row            → update columns take the updates side;
     - only-in-updates (new)  → inserted; base-only columns come from
-      ``insert_defaults`` (error if a non-key base column has none and
-      the updates side lacks it);
+      ``insert_defaults``, NULL where no default is given;
     - only-in-base           → carried forward unchanged.
+
+    Two physical strategies with identical results:
+
+    ``broadcast_updates=False`` — ONE full-outer hash join on the
+    keys. Spark cannot broadcast a full-outer equi join (the hint is
+    silently ignored; both sides shuffle), so this is the
+    both-sides-large plan, and the shuffle is the minimum any such
+    MERGE can do. Bucketed snapshots skip even that exchange.
+
+    ``broadcast_updates=True`` — the small-changelog plan, split so
+    the snapshot NEVER shuffles: (a) base LEFT broadcast-join updates
+    (map-side hash probe over every snapshot row — update + carry
+    branches), UNION ALL (b) inserts = updates left-anti the
+    snapshot's KEY COLUMN — the only exchange in the plan carries one
+    key column of the snapshot, not its rows. This is the join
+    topology lakehouse MERGE implementations (Delta/Iceberg, public)
+    lower to when the source fits in memory.
 
     Column contract: ``updates`` must contain ``keys`` plus a subset
     of base's columns (the ones being updated). The result has exactly
-    base's schema. Update values must be non-null (a null update value
-    is indistinguishable from "no update" in the coalesce plan; SCD
-    deletes are a separate tombstone column, not nulls).
+    base's schema; keys must be unique on both sides. Update values
+    must be non-null (a null update value is indistinguishable from
+    "no update" in the coalesce plan; SCD deletes are a separate
+    tombstone column, not nulls).
     """
     insert_defaults = insert_defaults or {}
     upd_cols = [c for c in updates.columns if c not in keys]
@@ -47,20 +64,38 @@ def merge_upsert(
     if missing:
         raise ValueError(f"updates columns not in base schema: {sorted(missing)}")
 
-    u = F.broadcast(updates) if broadcast_updates else updates
-    joined = base.alias("b").join(u.alias("u"), on=keys, how="full_outer")
-
-    out: list[Column] = []
-    for c in base.columns:
+    def merged_col(c: str) -> Column:
         if c in keys:
-            out.append(F.col(c))  # USING-join key: already coalesced
-        elif c in upd_cols:
-            out.append(F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c))
-        elif c in insert_defaults:
-            out.append(F.coalesce(F.col(f"b.{c}"), insert_defaults[c]).alias(c))
-        else:
-            out.append(F.col(f"b.{c}").alias(c))
-    return joined.select(*out)
+            return F.col(c)  # USING-join key: already coalesced
+        if c in upd_cols:
+            return F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+        if c in insert_defaults:
+            return F.coalesce(F.col(f"b.{c}"), insert_defaults[c]).alias(c)
+        return F.col(f"b.{c}").alias(c)
+
+    def insert_col(c: str) -> Column:
+        if c in keys or c in upd_cols:
+            return F.col(c)
+        if c in insert_defaults:
+            return insert_defaults[c].alias(c)
+        # same NULL the full-outer strategy produces for this branch
+        return F.lit(None).cast(base.schema[c].dataType).alias(c)
+
+    if not broadcast_updates:
+        joined = base.alias("b").join(updates.alias("u"), on=keys,
+                                      how="full_outer")
+        return joined.select(*[merged_col(c) for c in base.columns])
+
+    upserts = (
+        base.alias("b")
+        .join(F.broadcast(updates.alias("u")), on=keys, how="left")
+        .select(*[merged_col(c) for c in base.columns])
+    )
+    inserts = (
+        updates.join(base.select(*keys), on=keys, how="left_anti")
+        .select(*[insert_col(c) for c in base.columns])
+    )
+    return upserts.unionByName(inserts)
 
 
 def scd2_history(

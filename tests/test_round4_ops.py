@@ -154,3 +154,23 @@ def test_ntile_bucket_avoids_global_single_partition_window(spark):
     assert rn_specs, p
     for ln in rn_specs:
         assert "_pid" in ln, f"row_number window not partition-keyed: {ln}"
+
+
+def test_merge_strategies_agree_and_broadcast_path_spares_the_snapshot(spark):
+    """Both MERGE strategies must produce identical rows, and the
+    small-changelog plan must probe the snapshot map-side: the update/
+    carry branch is a BroadcastHashJoin (a full-outer join can never
+    broadcast — Spark ignores the hint — which is why the strategy
+    split exists)."""
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(100)], ["k", "name", "bal"])
+    upd = spark.createDataFrame(
+        [(5, 55.0), (200, 1.0)], ["k", "bal"])
+    kw = dict(keys=["k"], insert_defaults={"name": F.lit("new")})
+    wide = merge_upsert(base, upd, broadcast_updates=False, **kw)
+    small = merge_upsert(base, upd, broadcast_updates=True, **kw)
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, small.collect()))
+    p = plan(small)
+    assert "BroadcastHashJoin" in p, p
+    p_wide = plan(wide)
+    assert "BroadcastHashJoin" not in p_wide  # hint would be ignored anyway
