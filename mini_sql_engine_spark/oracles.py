@@ -1239,3 +1239,9 @@ WHERE p_brand <> 'Brand#13'
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
+
+ORACLES["right_join"] = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders) o
+RIGHT JOIN customer ON o_custkey = c_custkey
+"""

@@ -156,6 +156,21 @@ def left_join(spark, sf_dir):
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
 
 
+def right_join(spark, sf_dir):
+    """RIGHT OUTER mirror of `left_join` with the sides swapped —
+    orders on the left, every customer preserved. Catalyst rewrites
+    right joins as left joins with flipped sides, so the physical
+    profile is identical; the Qkey pins the API surface and the
+    null-extension semantics."""
+    cat = Catalog(spark, sf_dir)
+    return J.equi_join(
+        cat.table("orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        cat.table("customer"),
+        on=F.col("o_custkey") == F.col("c_custkey"),
+        how="right",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
 def full_join(spark, sf_dir):
     """FULL OUTER join of per-nation customer vs supplier wealth
     summaries, with asymmetric filters so all three row classes occur
@@ -2008,6 +2023,7 @@ QUERIES: dict[str, QueryFn] = {
     #   round (the front-50 must finish the r2∪r3 union first); they
     #   move into the front-50 next round —
     "q16_supplier_cnt": q16_supplier_cnt,
+    "right_join": right_join,
     "dedup_cc": dedup_cc,
     "contamination": contamination,
     "corpus_mix": corpus_mix,

@@ -174,3 +174,12 @@ def test_merge_strategies_agree_and_broadcast_path_spares_the_snapshot(spark):
     assert "BroadcastHashJoin" in p, p
     p_wide = plan(wide)
     assert "BroadcastHashJoin" not in p_wide  # hint would be ignored anyway
+
+
+def test_contamination_broadcasts_the_benchmark_side(spark):
+    """The corpus must be probed map-side: the benchmark shingle set
+    enters the plan as a broadcast, and the only exchange after it is
+    the per-doc count aggregation."""
+    p = plan(Q.contamination(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
