@@ -5,23 +5,24 @@ The missing last step of every dedup pipeline: pair generators
 per duplicate *cluster*" needs the transitive closure — A~B, B~C must
 collapse A, B, C together even though (A, C) was never emitted.
 
-Algorithm: iterative min-label propagation expressed as DataFrame
-joins — each round every node adopts the smallest component label in
-its closed neighborhood. Converges in O(graph diameter) rounds;
-near-duplicate clusters are dense (diameter 2–3 in practice), so 3–5
-rounds close real corpora. Each round is one keyed shuffle
-(neighbor-min aggregation) plus one join back to the label table;
-per-round state is ``localCheckpoint``-ed so the loop's lineage (and
-therefore task-retry cost) stays O(1) instead of O(rounds). The
-driver sees only a convergence counter per round (bounded metadata —
-no row data is collected).
+Algorithm: iterative min-label propagation with pointer shortcutting,
+expressed as DataFrame joins — each round every node adopts the
+smallest label in its closed neighborhood AND then the label of its
+label (one extra self-join on the label table). The shortcut step is
+what turns O(diameter) rounds into O(log diameter): labels hop along
+already-discovered paths instead of one edge per round — the
+map-reduce CC recipe of Rastogi et al., "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds" (ICDE'13, public; same idea as
+Shiloach–Vishkin shortcutting and the star operations of Kiveris et
+al., SoCC'14). Near-duplicate clusters are dense (diameter 2–3), so
+real corpora close in 2–3 rounds either way; the shortcut is the
+insurance against adversarial chain topologies.
 
-For adversarially long chains (diameter ≫ 10) the literature's
-alternating large-star/small-star rewiring [Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14 — public] converges in
-O(log²) rounds with the same join-shaped building blocks; plain
-min-propagation is the right default for dedup graphs where clusters
-are near-cliques.
+Each round is one keyed shuffle (neighbor-min aggregation) plus two
+label-table joins; per-round state is ``localCheckpoint``-ed so the
+loop's lineage (and therefore task-retry cost) stays O(1) instead of
+O(rounds). The driver sees only a convergence counter per round
+(bounded metadata — no row data is collected).
 """
 
 from __future__ import annotations
@@ -67,14 +68,32 @@ def connected_components(
             .groupBy(sym["u"].alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        merged = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # shortcut: follow the label's own label (label[label[v]]) —
+        # the pointer-doubling hop that makes convergence logarithmic
+        # in the diameter instead of linear
+        lab = merged.select(F.col("node").alias("l_node"),
+                            F.col("component").alias("l_comp"))
+        shortcut = merged.join(
+            lab, merged["component"] == lab["l_node"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("l_comp"), F.col("component"))
+            ).alias("component"),
+        )
         new_labels = materialized(
-            labels.join(neighbor_min, "node", "left")
+            shortcut.alias("n")
+            .join(labels.alias("o"), "node")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("changed"),
+                F.col("n.component").alias("component"),
+                (F.col("n.component") < F.col("o.component")).alias("changed"),
             )
         )
         n_changed = new_labels.filter(F.col("changed")).count()
@@ -83,8 +102,7 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components: no convergence in {max_rounds} rounds "
-        "(graph diameter exceeds budget — raise max_rounds or switch "
-        "to alternating large-star/small-star)"
+        "(log-diameter exceeds budget — raise max_rounds)"
     )
 
 

@@ -45,6 +45,17 @@ def test_cc_self_loops_and_duplicate_edges_ignored(spark):
     assert got == {6: 6, 7: 6}
 
 
+def test_cc_long_chain_converges_in_logarithmic_rounds(spark):
+    """Pointer shortcutting: a 40-node path has diameter 39, so plain
+    min-propagation needs ~39 rounds — the shortcut step must close it
+    within a log-scale budget (~log2(39)+2)."""
+    chain = [(i, i + 1) for i in range(39)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    rows = connected_components(df, max_rounds=9).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 40
+
+
 def test_cc_raises_instead_of_partial_labels(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="no convergence"):
