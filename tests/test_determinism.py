@@ -23,6 +23,10 @@ SENSITIVE = [
     "sim_topk",         # per-query top-k with ties
     "asof_join",        # union + carry-forward window
     "corpus_clean",     # full pipeline composition
+    "dedup_cc",         # iterative joins + per-round checkpoints (r4)
+    "ntile_bucket",     # range-partitioned global rank (r4)
+    "merge_upsert",     # broadcast-join + anti-join union branches (r4)
+    "corpus_mix",       # content-hash sampling must ignore layout (r4)
 ]
 
 LAYOUTS = [

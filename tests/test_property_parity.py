@@ -254,3 +254,77 @@ def test_window_parity(spark, rows):
         return tuple((v is not None, v) for v in t)
 
     assert sorted(got, key=nkey) == sorted(exp, key=nkey)
+
+
+# ── round-4 ops vs pure-Python oracles on random inputs ──────────
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=0, max_size=40,
+)
+
+
+def _union_find_components(edges):
+    """Reference implementation: classic union-find, min id per set."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        nodes.update((u, v))
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in nodes}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_st)
+def test_connected_components_match_union_find(spark, edges):
+    from mini_sql_engine_spark.pipeline.graph import connected_components
+
+    expect = _union_find_components(edges)
+    if not expect:
+        return  # all self-loops / empty: operator returns no rows
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == expect
+
+
+merge_rows_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(-99, 99)),
+    min_size=0, max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(base_rows=merge_rows_st, upd_rows=merge_rows_st)
+def test_merge_upsert_matches_dict_semantics(spark, base_rows, upd_rows):
+    """Both MERGE strategies must equal plain dict.update() semantics
+    on random (unique-key) tables."""
+    from mini_sql_engine_spark.operators.merge import merge_upsert
+
+    base = {k: v for k, v in base_rows}     # last wins → unique keys
+    upd = {k: v for k, v in upd_rows}
+    expect = {**base, **upd}
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k int, val int")
+    upd_df = spark.createDataFrame(
+        [(k, v) for k, v in upd.items()], "k int, val int")
+    for bcast in (False, True):
+        got = {r["k"]: r["val"]
+               for r in merge_upsert(base_df, upd_df, keys=["k"],
+                                     broadcast_updates=bcast).collect()}
+        assert got == expect, f"broadcast_updates={bcast}"
