@@ -323,3 +323,31 @@ def test_compact_files_hits_target_count(spark, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) == n
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_jdbc_roundtrip_partitioned_read_and_pushdown(spark, tmp_path):
+    """JDBC interop against the Derby engine Spark bundles: write,
+    read back through a 4-way range-partitioned scan (one connection
+    per stride), and verify a filter compiles into the remote WHERE
+    clause (* = fully pushed, Spark re-checks nothing)."""
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.sources.jdbc import (
+        DERBY_DRIVER, read_jdbc, write_jdbc,
+    )
+    from tests.conftest import SF_SMOKE
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
+    nation = Catalog(spark, SF_SMOKE).table("nation")
+    write_jdbc(nation, url, "nation", DERBY_DRIVER, num_partitions=2)
+
+    back = read_jdbc(spark, url, "nation", DERBY_DRIVER,
+                     partition_col="n_nationkey", lower=0, upper=25,
+                     num_partitions=4)
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+    flt = back.filter(F.col("n_regionkey") == 1).select("n_name")
+    plan_str = flt._sc._jvm.PythonSQLUtils.explainString(
+        flt._jdf.queryExecution(), "formatted")
+    pushed = [ln for ln in plan_str.splitlines() if "PushedFilters" in ln]
+    assert pushed and "*EqualTo(n_regionkey,1)" in pushed[0], plan_str
