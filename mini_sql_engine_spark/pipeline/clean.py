@@ -108,6 +108,28 @@ def stratified_sample(
     return docs.sampleBy(strata_col, full, seed=seed)
 
 
+def transitive_near_dup_survivors(
+    docs: DataFrame, n: int = 3, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Near-dup removal via the TRANSITIVE closure: LSH candidate
+    pairs → connected components → keep only each cluster's
+    representative (min doc_id). Strictly stronger than the pairwise
+    drop-higher rule (`near_dup_survivors`): in a chain A~B~C the
+    pairwise rule can keep both A and C even though they are
+    near-dups of the same B, while the cluster rule keeps exactly one
+    document per duplicate cluster — the semantics training-corpus
+    dedup actually wants."""
+    from mini_sql_engine_spark.pipeline.graph import dedup_clusters
+
+    pairs = minhash_lsh_candidates(docs, n, num_hashes, bands)
+    losers = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def benchmark_contamination(
     docs: DataFrame, bench: DataFrame, n: int = 3
 ) -> DataFrame:
@@ -173,3 +195,56 @@ def hash_mix(
         ).otherwise(threshold)
     prefix = F.substring(F.md5(F.col(text_col).cast("binary")), 1, 8)
     return docs.filter(prefix < threshold)
+
+
+def training_pipeline_stats(
+    docs: DataFrame,
+    bench: DataFrame,
+    mix_rates: dict[str, float],
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.7,
+    pack_tokens: int = 512,
+) -> DataFrame:
+    """The whole training-data pipeline, end-to-end, as ONE summary
+    row — the composition this engine exists for, each stage shrinking
+    the next one's input (cheapest-filter-first):
+
+    quality gate → exact dedup → transitive near-dup (LSH + connected
+    components) → benchmark decontamination → deterministic mixing →
+    sequence packing.
+
+    Output columns: per-stage surviving counts plus the packed-stream
+    totals (token count and pack count at ``pack_tokens``). All stage
+    counts come from aggregate-only plans over the lazily-chained
+    stages — no stage materializes rows to the driver.
+    """
+    from mini_sql_engine_spark.functions.text import token_count
+
+    gated = quality_gate(docs, min_tokens=min_tokens,
+                         max_stop_ratio=max_stop_ratio)
+    exact = exact_dedup(gated)
+    neardup = transitive_near_dup_survivors(exact)
+    hits = benchmark_contamination(neardup, bench).select("doc_id")
+    decont = neardup.join(hits, "doc_id", "left_anti")
+    mixed = hash_mix(decont, mix_rates)
+
+    def n(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(F.count(F.lit(1)).alias(alias))
+
+    tokens_total = mixed.select(
+        F.coalesce(F.sum(token_count("text").cast("long")), F.lit(0))
+        .alias("n_tokens")
+    )
+    return (
+        n(docs, "n_input")
+        .crossJoin(n(gated, "n_quality"))
+        .crossJoin(n(exact, "n_exact_dedup"))
+        .crossJoin(n(neardup, "n_near_dedup"))
+        .crossJoin(n(decont, "n_decontaminated"))
+        .crossJoin(n(mixed, "n_mixed"))
+        .crossJoin(tokens_total)
+        .withColumn(
+            "n_packs",
+            F.expr(f"(n_tokens + {pack_tokens} - 1) div {pack_tokens}"),
+        )
+    )

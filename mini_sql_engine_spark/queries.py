@@ -1028,6 +1028,17 @@ def corpus_sample(spark, sf_dir):
     )
 
 
+def corpus_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline summary: quality gate → exact
+    dedup → TRANSITIVE near-dup (LSH + connected components) →
+    benchmark decontamination → deterministic mixing → packing totals.
+    Rows-only (contains the LSH stage); stage invariants in tests."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return CL.training_pipeline_stats(corpus, bench, {"en": 0.5})
+
+
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via mapInPandas — rows-only."""
     docs = Catalog(spark, sf_dir).table("documents")
@@ -2044,6 +2055,7 @@ QUERIES: dict[str, QueryFn] = {
     "sim_ann": sim_ann,
     "sim_ivf": sim_ivf,
     "corpus_clean": corpus_clean,
+    "corpus_pipeline": corpus_pipeline,
     "corpus_sample": corpus_sample,
     "multimodal_features": multimodal_features,
 }

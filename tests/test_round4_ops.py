@@ -194,3 +194,44 @@ def test_contamination_broadcasts_the_benchmark_side(spark):
     p = plan(Q.contamination(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+# ───────────────── end-to-end pipeline composition ─────────────────
+
+
+def test_transitive_dedup_collapses_chains_pairwise_rule_misses(spark):
+    """A~B~C chain: the pairwise drop-higher rule keeps {A}, but so
+    must the cluster rule — and on a chain where pairwise keeps TWO
+    docs the cluster rule still keeps exactly one per component."""
+    from mini_sql_engine_spark.pipeline.clean import (
+        transitive_near_dup_survivors,
+    )
+
+    # three near-identical docs forming an LSH chain + one distinct
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " mu"), (3, base + " mu nu"),
+         (9, "completely different words with no shared shingles here")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"]
+            for r in transitive_near_dup_survivors(docs).collect()}
+    assert 9 in kept                       # singleton untouched
+    assert kept & {1, 2, 3} == {1}         # one rep per cluster (min id)
+
+
+def test_training_pipeline_stage_counts_monotone(spark):
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.pipeline.clean import training_pipeline_stats
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    row = training_pipeline_stats(corpus, bench, {"en": 0.5}).collect()[0]
+    seq = [row["n_input"], row["n_quality"], row["n_exact_dedup"],
+           row["n_near_dedup"], row["n_decontaminated"], row["n_mixed"]]
+    assert seq == sorted(seq, reverse=True)      # each stage only removes
+    assert row["n_mixed"] > 0                    # and does not nuke the corpus
+    assert row["n_packs"] == (row["n_tokens"] + 511) // 512
+    # deterministic end to end (content-hash mixing, seeded LSH)
+    row2 = training_pipeline_stats(corpus, bench, {"en": 0.5}).collect()[0]
+    assert tuple(row) == tuple(row2)
