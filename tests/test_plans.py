@@ -258,6 +258,10 @@ ROUND3_KEYS = [
     "q15_top_supplier", "q17_small_qty", "q19_disc_revenue", "q20_excess",
     "q21_waiting", "q22_idle", "sessionize", "pii_scrub", "histogram",
     "repetition_filter",
+    # round-4 relational/expression shapes (the CC/merge/mix plan
+    # shapes have dedicated gates in test_round4_ops)
+    "q16_supplier_cnt", "right_join", "scd2_history", "topk_per_group",
+    "ntile_bucket", "hll_distinct", "corpus_mix", "contamination",
 ]
 
 # Inequality scalar-subquery thresholds (val > total·f, bal > avg)
@@ -266,7 +270,8 @@ ROUND3_KEYS = [
 # the "loop" is one comparison per probe row). Everything else must
 # hash-join. (q15's equality threshold is recovered into a
 # BroadcastHashJoin by Catalyst — asserted below.)
-SCALAR_NLJ_OK = {"q11_top_value", "q22_idle"}
+SCALAR_NLJ_OK = {"q11_top_value", "q22_idle",
+                 "ntile_bucket"}  # 1-row total-count crossJoin (r4)
 
 
 def test_round3_shapes_stay_jvm_side_and_hash_joined(spark):
