@@ -880,9 +880,10 @@ def win_running_sum(spark, sf_dir):
 
 
 def user_ewma(spark, sf_dir):
-    """Per-user EWMA via grouped applyInPandas — rows-only (pandas
-    oracle in tests)."""
-    return EW.user_ewma(Catalog(spark, sf_dir).table("events"))
+    """Per-user EWMA via the segmented-scan formulation (O(chunk)
+    task memory however long a user's history is) — rows-only (pandas
+    oracle + segmented-vs-sequential parity in tests)."""
+    return EW.user_ewma_segmented(Catalog(spark, sf_dir).table("events"))
 
 
 def win_tumbling(spark, sf_dir):

@@ -417,3 +417,23 @@ def test_streaming_enrichment_equals_batch_and_broadcasts(spark, events_stream_d
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
     p = expect._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
+
+
+def test_user_ewma_segmented_equals_sequential_across_chunk_sizes(spark, events_stream_dir):
+    """The segmented scan must agree with the one-batch recurrence for
+    ANY chunking — chunk=7 forces every user through multi-chunk
+    affine folds; chunk=10**6 degenerates to the single-batch path.
+    Agreement is to 1e-9 of the pre-rounded value (the fold
+    re-associates float ops at chunk boundaries, nothing more)."""
+    ev = _batch_events(spark, events_stream_dir)
+    base = {r.user_id: (r.n_events, r.ewma_value)
+            for r in EW.user_ewma(ev, alpha=0.3).collect()}
+    for chunk in (7, 10**6):
+        seg = {r.user_id: (r.n_events, r.ewma_value)
+               for r in EW.user_ewma_segmented(ev, alpha=0.3,
+                                               chunk=chunk).collect()}
+        assert seg.keys() == base.keys()
+        for uid, (n, val) in base.items():
+            sn, sval = seg[uid]
+            assert sn == n, (uid, chunk)
+            assert abs(sval - val) <= 1e-6, (uid, chunk, sval, val)
