@@ -880,10 +880,11 @@ def win_running_sum(spark, sf_dir):
 
 
 def user_ewma(spark, sf_dir):
-    """Per-user EWMA via the segmented-scan formulation (O(chunk)
-    task memory however long a user's history is) — rows-only (pandas
-    oracle + segmented-vs-sequential parity in tests)."""
-    return EW.user_ewma_segmented(Catalog(spark, sf_dir).table("events"))
+    """Per-user final EWMA via the telescoped pure-expression form —
+    one shuffle, zero Python, unbounded histories (far-past weights
+    underflow benignly). Rows-only (pandas oracle + three-way parity
+    vs the segmented scan and the sequential recurrence in tests)."""
+    return EW.user_ewma_expr(Catalog(spark, sf_dir).table("events"))
 
 
 def win_tumbling(spark, sf_dir):

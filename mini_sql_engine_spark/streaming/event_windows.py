@@ -85,6 +85,43 @@ def user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     ).applyInPandas(ewma, "user_id long, n_events long, ewma_value double")
 
 
+def user_ewma_expr(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user FINAL EWMA as pure JVM expressions — no Python at all.
+
+    The recurrence telescopes to a weighted sum,
+    ``y_N = x₁·(1−α)^(N−1) + α·Σ_{i≥2} x_i·(1−α)^(N−i)``,
+    which is only numerically safe in this direction: every exponent
+    is ≥ 0, so far-past terms UNDERFLOW to zero (benign — their true
+    contribution is below double precision) instead of overflowing
+    the way the (1−α)^(−i) prefix-sum form does. One keyed window
+    assigns (position, count) per user; the weighted sum is a hash
+    aggregate over the SAME partitioning, so Catalyst reuses the
+    exchange — one shuffle total, whole-stage codegen throughout.
+
+    This is the plan for final-value semantics; ``user_ewma_segmented``
+    is the general machinery (per-row outputs, recurrences whose
+    coefficients vary per step). Results agree to float tolerance
+    (pow vs repeated multiplication re-associates; asserted in tests).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    decay = F.lit(1.0 - alpha)
+    base = events.select("user_id", "ts", "event_id", "value").withColumn(
+        "_pos", F.row_number().over(w)
+    ).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    weight = F.pow(decay, F.col("_n") - F.col("_pos"))
+    term = F.when(
+        F.col("_pos") == 1, F.col("value") * F.pow(decay, F.col("_n") - 1)
+    ).otherwise(F.lit(alpha) * F.col("value") * weight)
+    return (
+        base.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(term), 6).alias("ewma_value"))
+        .select("user_id", "n_events", "ewma_value")
+    )
+
+
 def user_ewma_segmented(
     events: DataFrame, alpha: float = 0.3, chunk: int = 1024
 ) -> DataFrame:

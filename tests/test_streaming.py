@@ -428,12 +428,15 @@ def test_user_ewma_segmented_equals_sequential_across_chunk_sizes(spark, events_
     ev = _batch_events(spark, events_stream_dir)
     base = {r.user_id: (r.n_events, r.ewma_value)
             for r in EW.user_ewma(ev, alpha=0.3).collect()}
-    for chunk in (7, 10**6):
-        seg = {r.user_id: (r.n_events, r.ewma_value)
-               for r in EW.user_ewma_segmented(ev, alpha=0.3,
-                                               chunk=chunk).collect()}
+    variants = {
+        "seg7": EW.user_ewma_segmented(ev, alpha=0.3, chunk=7),
+        "seg1M": EW.user_ewma_segmented(ev, alpha=0.3, chunk=10**6),
+        "expr": EW.user_ewma_expr(ev, alpha=0.3),
+    }
+    for name, df in variants.items():
+        seg = {r.user_id: (r.n_events, r.ewma_value) for r in df.collect()}
         assert seg.keys() == base.keys()
         for uid, (n, val) in base.items():
             sn, sval = seg[uid]
-            assert sn == n, (uid, chunk)
-            assert abs(sval - val) <= 1e-6, (uid, chunk, sval, val)
+            assert sn == n, (uid, name)
+            assert abs(sval - val) <= 1e-6, (uid, name, sval, val)
