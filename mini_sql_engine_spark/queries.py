@@ -1902,11 +1902,19 @@ def hll_distinct(spark, sf_dir):
     against the exact count and must land within 5% — the mergeable-
     sketch path you run at 100 TB (one pass, O(1) state per group)
     next to the exact shuffle-heavy path that verifies it at test
-    scale. Oracle emits the exact counts + TRUE."""
+    scale. Oracle emits the exact counts + TRUE.
+
+    Plan note: mixing countDistinct with other aggregates makes Spark
+    EXPAND the input (one row copy per distinct clause). HLL sketches
+    are duplicate-insensitive, so both counts are instead taken over
+    the pre-distinct (group, key) pairs: the first shuffle collapses
+    duplicates with map-side combine, the second is group-cardinality
+    sized — no expand anywhere."""
     li = Catalog(spark, sf_dir).table("lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    pairs = li.groupBy("l_returnflag", "l_orderkey").agg(F.lit(1))
+    g = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx"),
-        F.countDistinct("l_orderkey").alias("exact_cnt"),
+        F.count(F.lit(1)).alias("exact_cnt"),
     )
     rel_err = (
         F.abs(F.col("_approx") - F.col("exact_cnt")).cast("double")
