@@ -1245,3 +1245,26 @@ SELECT c_custkey, c_name, o_orderkey, o_totalprice
 FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders) o
 RIGHT JOIN customer ON o_custkey = c_custkey
 """
+
+ORACLES["table_checks"] = """
+WITH dup AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dup_orderkeys
+  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+), orph AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphan_orders
+  FROM orders WHERE NOT EXISTS
+    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+), nl AS (
+  SELECT CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+    AS n_null_totalprice FROM orders
+), rg AS (
+  SELECT CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    AS n_nonpositive_totalprice FROM orders
+)
+SELECT n_dup_orderkeys, n_orphan_orders, n_null_totalprice,
+       n_nonpositive_totalprice,
+       n_dup_orderkeys = 0 AND n_orphan_orders = 0
+         AND n_null_totalprice = 0 AND n_nonpositive_totalprice = 0
+         AS all_passed
+FROM dup, orph, nl, rg
+"""

@@ -1896,6 +1896,45 @@ def ntile_bucket(spark, sf_dir):
     )
 
 
+def table_checks(spark, sf_dir):
+    """Data-quality constraint validation (the dbt-test / lakehouse
+    CHECK-constraint shape): one summary row of violation counts —
+    key uniqueness on orders, FK orphans orders→customer, null count,
+    and a range check — each an aggregate-only subplan, combined via
+    1-row crossJoins. At scale every check is one scan + keyed agg or
+    broadcast anti-join; nothing materializes rows."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c = cat.table("customer")
+    dup_keys = (
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_orderkeys"))
+    )
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    nulls = o.agg(
+        F.count(F.when(F.col("o_totalprice").isNull(), 1))
+        .alias("n_null_totalprice")
+    )
+    ranges = o.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .alias("n_nonpositive_totalprice")
+    )
+    return (
+        dup_keys.crossJoin(orphans).crossJoin(nulls).crossJoin(ranges)
+        .withColumn(
+            "all_passed",
+            (F.col("n_dup_orderkeys") == 0)
+            & (F.col("n_orphan_orders") == 0)
+            & (F.col("n_null_totalprice") == 0)
+            & (F.col("n_nonpositive_totalprice") == 0),
+        )
+    )
+
+
 def hll_distinct(spark, sf_dir):
     """Sketch-based distinct counting (HyperLogLog++) with an exact
     certificate: approx_count_distinct per group is compared in-plan
@@ -2053,6 +2092,7 @@ QUERIES: dict[str, QueryFn] = {
     "topk_per_group": topk_per_group,
     "ntile_bucket": ntile_bucket,
     "hll_distinct": hll_distinct,
+    "table_checks": table_checks,
     #   (rows-only → hash-checked conversions, round 4)
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
