@@ -1268,3 +1268,57 @@ SELECT n_dup_orderkeys, n_orphan_orders, n_null_totalprice,
          AS all_passed
 FROM dup, orph, nl, rg
 """
+
+ORACLES["retention_cohorts"] = """
+WITH acts AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM acts GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       strftime(week, '%Y-%m-%d') AS active_week,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM acts JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLES["funnel"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_after_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_after_click
+"""
+
+ORACLES["mode_agg"] = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rnk
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       n AS n_occurrences
+FROM ranked WHERE rnk = 1
+"""
+
+ORACLES["sample_k"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT 100
+"""

@@ -1962,6 +1962,100 @@ def hll_distinct(spark, sf_dir):
     return g.select("l_returnflag", "exact_cnt", (rel_err <= 0.05).alias("ok"))
 
 
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention (the canonical product-analytics query):
+    users grouped by first-activity week, distinct active users per
+    (cohort week, activity week). Two keyed aggs + one user-keyed
+    join — cohort assignment is a per-user min, broadcast back.
+    ISO Monday-start weeks in both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    acts = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    fmt = "yyyy-MM-dd"
+    return (
+        acts.join(cohorts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", fmt).alias("cohort_week"),
+            F.date_format("week", fmt).alias("active_week"),
+            "n_active_users",
+        )
+    )
+
+
+def funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a stage
+    counts only if it happens strictly AFTER the user's previous
+    stage (min-timestamp semantics). Three per-user conditional-min
+    aggregations chained by user-keyed joins — each stage's frame
+    shrinks to the users still in the funnel. One summary row."""
+    ev = Catalog(spark, sf_dir).table("events")
+
+    def stage_min(df, etype, alias):
+        return (
+            df.filter(F.col("event_type") == etype)
+            .groupBy("user_id").agg(F.min("ts").alias(alias))
+        )
+
+    v = stage_min(ev, "view", "t_view")
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+def mode_agg(spark, sf_dir):
+    """MODE (most frequent value) per group with a deterministic
+    lexicographic tie-break — implemented explicitly as count + rank
+    in BOTH engines (native mode() functions leave ties
+    implementation-defined)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("o_orderstatus",
+                F.col("o_orderpriority").alias("mode_priority"),
+                F.col("n").alias("n_occurrences"))
+    )
+
+
+def sample_k(spark, sf_dir):
+    """Deterministic exact-k sample: top-100 orders by content hash —
+    the distributed equivalent of reservoir sampling, but
+    reproducible across engines/runs/layouts (md5 of the key is the
+    uniform random rank). Plans as TakeOrderedAndProject: each
+    partition keeps its local top-k, the driver merges k·P rows."""
+    o = Catalog(spark, sf_dir).table("orders")
+    h = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", h.alias("_h"))
+        .orderBy("_h", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–2).
 # There are 99 hash-checked keys, so no single run can green them
@@ -2093,6 +2187,10 @@ QUERIES: dict[str, QueryFn] = {
     "ntile_bucket": ntile_bucket,
     "hll_distinct": hll_distinct,
     "table_checks": table_checks,
+    "retention_cohorts": retention_cohorts,
+    "funnel": funnel,
+    "mode_agg": mode_agg,
+    "sample_k": sample_k,
     #   (rows-only → hash-checked conversions, round 4)
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
