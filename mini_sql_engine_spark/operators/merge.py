@@ -131,3 +131,32 @@ def scd2_history(
         ).alias("valid_to"),
         F.lead(change_ts).over(w).isNull().alias("is_current"),
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    insert_defaults: dict[str, Column] | None = None,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a CDC changelog with tombstones: rows whose ``op_col`` is
+    ``'D'`` DELETE the matching snapshot key; every other op upserts
+    (``merge_upsert`` semantics). Deletes are a keys-only anti join —
+    with a broadcast changelog the snapshot still never shuffles.
+
+    This is the full Debezium-style apply loop: I/U collapse into the
+    upsert branch (an insert for an unseen key IS an upsert), D is the
+    only op needing its own branch.
+    """
+    dels = changes.filter(F.col(op_col) == "D").select(*keys)
+    ups = changes.filter(F.col(op_col) != "D").drop(op_col)
+    survivors = base.join(
+        F.broadcast(dels) if broadcast_changes else dels, keys, "left_anti"
+    )
+    return merge_upsert(
+        survivors, ups, keys,
+        insert_defaults=insert_defaults,
+        broadcast_updates=broadcast_changes,
+    )

@@ -1322,3 +1322,37 @@ FROM orders
 ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
 LIMIT 100
 """
+
+ORACLES["cdc_apply"] = """
+WITH chg AS (
+  SELECT CASE WHEN o_custkey % 5 = 0 THEN o_custkey
+              WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS c_custkey,
+         CASE WHEN o_custkey % 5 = 0 THEN 'D'
+              WHEN o_custkey % 3 = 0 THEN 'I' ELSE 'U' END AS op,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+  FROM orders WHERE o_orderdate >= '1998-01-01'
+  GROUP BY 1, 2
+), ups AS (
+  SELECT c_custkey, c_acctbal FROM chg WHERE op <> 'D'
+), surv AS (
+  SELECT * FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg WHERE op = 'D')
+)
+SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+       COALESCE(b.c_name, 'new customer') AS c_name,
+       COALESCE(b.c_nationkey, -1) AS c_nationkey,
+       COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+       COALESCE(b.c_mktsegment, 'UNKNOWN') AS c_mktsegment
+FROM surv b
+FULL OUTER JOIN ups u ON b.c_custkey = u.c_custkey
+"""
+
+# The oracle recomputes from scratch — the WHOLE POINT of the Qkey is
+# that Spark's state ⊕ delta merge must equal this exactly (count and
+# decimal-sum are algebraic/mergeable).
+ORACLES["incremental_agg"] = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey
+"""

@@ -1962,6 +1962,66 @@ def hll_distinct(spark, sf_dir):
     return g.select("l_returnflag", "exact_cnt", (rel_err <= 0.05).alias("ok"))
 
 
+def cdc_apply(spark, sf_dir):
+    """Debezium-style CDC apply: a changelog with tombstones derived
+    from 1998+ orders — custkeys ≡0 (mod 5) delete, ≡0 (mod 3) insert
+    under a shifted key, the rest update balances. Deletes are a
+    keys-only broadcast anti join; the upserts reuse the
+    snapshot-never-shuffles MERGE strategy. Oracle replays the same
+    changelog in SQL."""
+    cat = Catalog(spark, sf_dir)
+    ck = F.col("o_custkey")
+    key = F.when(ck % 5 == 0, ck).when(ck % 3 == 0, ck + 10_000_000).otherwise(ck)
+    op = F.when(ck % 5 == 0, "D").when(ck % 3 == 0, "I").otherwise("U")
+    changes = (
+        cat.table("orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(key.alias("c_custkey"), op.alias("op"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("c_acctbal"))
+    )
+    return MG.cdc_apply(
+        cat.table("customer"), changes, keys=["c_custkey"],
+        insert_defaults={
+            "c_name": F.lit("new customer"),
+            "c_nationkey": F.lit(-1),
+            "c_mktsegment": F.lit("UNKNOWN"),
+        },
+    )
+
+
+def incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: a per-customer spend aggregate
+    refreshed by MERGING the delta's partial state into the stored
+    state instead of rescanning history — count and decimal-sum are
+    algebraic, so state ⊕ delta = full recompute exactly. At 100 TB
+    the refresh cost is the day's delta, not the table. Oracle is the
+    from-scratch aggregate over everything."""
+    o = Catalog(spark, sf_dir).table("orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("_n"), spend.alias("_s")
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < "1997-01-01"))
+    delta = partial(o.filter(F.col("o_orderdate") >= "1997-01-01"))
+    s, d = state.alias("s"), delta.alias("d")
+    zero_n = F.lit(0).cast("long")
+    return (
+        s.join(d, on=["o_custkey"], how="full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce(F.col("s._n"), zero_n)
+             + F.coalesce(F.col("d._n"), zero_n)).alias("n_orders"),
+            (F.coalesce(F.col("s._s"), F.lit(0).cast("decimal(18,2)"))
+             + F.coalesce(F.col("d._s"), F.lit(0).cast("decimal(18,2)")))
+            .cast("double").alias("total_spend"),
+        )
+    )
+
+
 def retention_cohorts(spark, sf_dir):
     """Cohort retention (the canonical product-analytics query):
     users grouped by first-activity week, distinct active users per
@@ -2189,6 +2249,8 @@ QUERIES: dict[str, QueryFn] = {
     "table_checks": table_checks,
     "retention_cohorts": retention_cohorts,
     "funnel": funnel,
+    "cdc_apply": cdc_apply,
+    "incremental_agg": incremental_agg,
     "mode_agg": mode_agg,
     "sample_k": sample_k,
     #   (rows-only → hash-checked conversions, round 4)
