@@ -1356,3 +1356,11 @@ SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
 FROM orders GROUP BY o_custkey
 """
+
+ORACLES["rollup_gid"] = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_returnflag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_linestatus
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

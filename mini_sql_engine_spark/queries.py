@@ -1962,6 +1962,19 @@ def hll_distinct(spark, sf_dir):
     return g.select("l_returnflag", "exact_cnt", (rel_err <= 0.05).alias("ok"))
 
 
+def rollup_gid(spark, sf_dir):
+    """ROLLUP with GROUPING() flags — the only way to tell a subtotal
+    row's NULL from a real NULL in the data (the semantic corner every
+    BI layer on top of a warehouse depends on). Flags cast to BIGINT
+    on both engines."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("long").alias("g_returnflag"),
+        F.grouping("l_linestatus").cast("long").alias("g_linestatus"),
+    )
+
+
 def cdc_apply(spark, sf_dir):
     """Debezium-style CDC apply: a changelog with tombstones derived
     from 1998+ orders — custkeys ≡0 (mod 5) delete, ≡0 (mod 3) insert
@@ -2251,6 +2264,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel": funnel,
     "cdc_apply": cdc_apply,
     "incremental_agg": incremental_agg,
+    "rollup_gid": rollup_gid,
     "mode_agg": mode_agg,
     "sample_k": sample_k,
     #   (rows-only → hash-checked conversions, round 4)
