@@ -1364,3 +1364,29 @@ SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+ORACLES["locf_fill"] = """
+WITH r AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type <> 'error' THEN value END AS reading
+  FROM events
+)
+SELECT event_id, user_id, reading,
+       last_value(reading IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS reading_filled
+FROM r
+"""
+
+ORACLES["win_count_distinct"] = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         dense_rank() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_partkey) AS dr
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(max(dr) OVER (PARTITION BY l_returnflag) AS BIGINT)
+         AS n_distinct_parts
+FROM d
+"""

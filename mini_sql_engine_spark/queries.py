@@ -1962,6 +1962,42 @@ def hll_distinct(spark, sf_dir):
     return g.select("l_returnflag", "exact_cnt", (rel_err <= 0.05).alias("ok"))
 
 
+def locf_fill(spark, sf_dir):
+    """LOCF (last-observation-carried-forward) imputation: error
+    events get a NULL reading (deterministic null-planting so the
+    fill is verifiable), then each user's last non-null value carries
+    forward in event-time order. `F.last(ignorenulls=True)` over an
+    unbounded-preceding frame — one keyed shuffle; DuckDB twin uses
+    `last_value(... IGNORE NULLS)`."""
+    ev = Catalog(spark, sf_dir).table("events")
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select(
+        "event_id", "user_id",
+        reading.alias("reading"),
+        F.last(reading, ignorenulls=True).over(w).alias("reading_filled"),
+    )
+
+
+def win_count_distinct(spark, sf_dir):
+    """Distinct-count attached per row (COUNT(DISTINCT) OVER — which
+    Spark does not support) via the standard dense_rank workaround:
+    max(dense_rank ordered by the counted column) within the
+    partition equals its distinct count. Same trick spelled
+    identically in the DuckDB twin so both engines exercise the
+    rewrite."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    w_rank = Window.partitionBy("l_returnflag").orderBy("l_partkey")
+    w_all = (Window.partitionBy("l_returnflag")
+             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.max(F.dense_rank().over(w_rank)).over(w_all)
+        .cast("long").alias("n_distinct_parts"),
+    )
+
+
 def rollup_gid(spark, sf_dir):
     """ROLLUP with GROUPING() flags — the only way to tell a subtotal
     row's NULL from a real NULL in the data (the semantic corner every
@@ -2265,6 +2301,8 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_apply": cdc_apply,
     "incremental_agg": incremental_agg,
     "rollup_gid": rollup_gid,
+    "locf_fill": locf_fill,
+    "win_count_distinct": win_count_distinct,
     "mode_agg": mode_agg,
     "sample_k": sample_k,
     #   (rows-only → hash-checked conversions, round 4)
