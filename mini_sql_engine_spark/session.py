@@ -68,6 +68,18 @@ def get_spark(
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Python WORKERS inherit PYTHONPATH, not the driver's runtime
+    # sys.path edits: a caller that found this package via
+    # sys.path.insert (a harness running from another cwd) would get
+    # "ModuleNotFoundError: mini_sql_engine_spark" when workers
+    # unpickle pandas-UDF closures referencing the package. Export the
+    # repo root before the first worker is forked.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
