@@ -213,3 +213,73 @@ def run_to_memory(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_incremental_state(
+    spark: SparkSession,
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming MATERIALIZED VIEW: maintain per-user (n_events,
+    sum_value) state by merging each micro-batch's PARTIAL aggregate
+    into the stored state — the streaming twin of `incremental_agg`'s
+    view-refresh algebra, built from `run_foreach_batch`'s
+    idempotence contract.
+
+    Exactly-once without a transactional table format: state is
+    VERSIONED BY BATCH ID (``state_dir/v{batch_id}``). Each batch
+    reads the latest version below its own id, merges the batch's
+    delta (count/sum are algebraic), and overwrites its own version —
+    a checkpoint-replayed batch recomputes the identical version from
+    the identical predecessor, so replays are no-ops. Per batch the
+    work is the DELTA's aggregate plus a state-sized merge join; the
+    raw history is never rescanned.
+
+    Returns the final state as a batch DataFrame.
+    """
+    import os
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    schema = "user_id long, n_events long, sum_value decimal(18,6)"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # sum(decimal(18,6)) widens to decimal(28,6); pin the STORED
+        # schema to the declared one or the next batch's read fails
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").alias("sum_value"),
+        )
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            state = spark.read.schema(schema).parquet(
+                f"{state_dir}/v{prior[-1]}"
+            )
+            s, d = state.alias("s"), delta.alias("d")
+            zero_n = F.lit(0).cast("long")
+            zero_s = F.lit(0).cast("decimal(18,6)")
+            merged = s.join(d, on=["user_id"], how="full_outer").select(
+                "user_id",
+                (F.coalesce(F.col("s.n_events"), zero_n)
+                 + F.coalesce(F.col("d.n_events"), zero_n)).alias("n_events"),
+                (F.coalesce(F.col("s.sum_value"), zero_s)
+                 + F.coalesce(F.col("d.sum_value"), zero_s))
+                .cast("decimal(18,6)").alias("sum_value"),
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    run_foreach_batch(events, sink, checkpoint_dir)
+    versions = _versions()
+    if not versions:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(f"{state_dir}/v{versions[-1]}")
