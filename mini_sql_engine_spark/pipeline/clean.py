@@ -215,18 +215,25 @@ def training_pipeline_stats(
 
     Output columns: per-stage surviving counts plus the packed-stream
     totals (token count and pack count at ``pack_tokens``). All stage
-    counts come from aggregate-only plans over the lazily-chained
-    stages — no stage materializes rows to the driver.
+    counts come from aggregate-only plans — no stage materializes rows
+    to the driver. Each stage IS materialized once on the executors
+    (``materialized()`` barrier): the summary fans out into one count
+    branch per stage, and without barriers each branch re-runs its
+    whole stage prefix — prefix work that grows quadratically with
+    stage count at scale (locally ~12% because the CC stage's own
+    iterative rounds dominate). At 100 TB use durable path-based
+    checkpoints between stages instead — same structure, spill-proof.
     """
     from mini_sql_engine_spark.functions.text import token_count
+    from mini_sql_engine_spark.plans import materialized
 
-    gated = quality_gate(docs, min_tokens=min_tokens,
-                         max_stop_ratio=max_stop_ratio)
-    exact = exact_dedup(gated)
-    neardup = transitive_near_dup_survivors(exact)
+    gated = materialized(quality_gate(docs, min_tokens=min_tokens,
+                                      max_stop_ratio=max_stop_ratio))
+    exact = materialized(exact_dedup(gated))
+    neardup = materialized(transitive_near_dup_survivors(exact))
     hits = benchmark_contamination(neardup, bench).select("doc_id")
-    decont = neardup.join(hits, "doc_id", "left_anti")
-    mixed = hash_mix(decont, mix_rates)
+    decont = materialized(neardup.join(hits, "doc_id", "left_anti"))
+    mixed = materialized(hash_mix(decont, mix_rates))
 
     def n(df: DataFrame, alias: str) -> DataFrame:
         return df.select(F.count(F.lit(1)).alias(alias))
