@@ -1390,3 +1390,13 @@ SELECT l_orderkey, l_linenumber, l_returnflag,
          AS n_distinct_parts
 FROM d
 """
+
+ORACLES["win_time_range"] = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""

@@ -1962,6 +1962,26 @@ def hll_distinct(spark, sf_dir):
     return g.select("l_returnflag", "exact_cnt", (rel_err <= 0.05).alias("ok"))
 
 
+def win_time_range(spark, sf_dir):
+    """Per-row trailing time window (events in the last hour, per
+    user) — the rolling-metric shape dashboards live on, distinct
+    from bucketed tumbling windows (every ROW gets its own trailing
+    frame). Spark's DataFrame API range frames are numeric, so the
+    order key is epoch seconds with ``rangeBetween(-3599, 0)`` —
+    equivalent to DuckDB's ``RANGE INTERVAL 59 MINUTES 59 SECONDS
+    PRECEDING`` over its epoch — one keyed shuffle."""
+    ev = Catalog(spark, sf_dir).table("events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(epoch)
+         .rangeBetween(-3599, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("value_last_hour"),
+    )
+
+
 def locf_fill(spark, sf_dir):
     """LOCF (last-observation-carried-forward) imputation: error
     events get a NULL reading (deterministic null-planting so the
@@ -2175,7 +2195,7 @@ def sample_k(spark, sf_dir):
 # artifact), (c) the 18 round-3 keys. Rounds 2+3 together then cover
 # the 99 keys that existed when round 3's cap was planned. The keys
 # added AFTER the cap was planned sit in group (d) below (22
-# hash-checked round-4 additions) — they have no driver row yet.
+# hash-checked round-4 additions; 23 with win_time_range) — no driver row yet.
 #
 # ROUND-4 REORDER INSTRUCTIONS (next session): front-50 = the 22
 # group-(d) keys + seq_pack-style red rows (if any in
@@ -2309,6 +2329,7 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_gid": rollup_gid,
     "locf_fill": locf_fill,
     "win_count_distinct": win_count_distinct,
+    "win_time_range": win_time_range,
     "mode_agg": mode_agg,
     "sample_k": sample_k,
     #   (rows-only → hash-checked conversions, round 4)
