@@ -1,0 +1,62 @@
+"""Registry rotation hygiene (VERDICT r3 ask #6).
+
+The round driver records at most the first 50 ``queries()`` entries in
+``CORRECTNESS_r{N}.json``.  The rotation invariant is: every
+hash-checked key (has a DuckDB oracle) that LACKS a green row in the
+committed artifacts must sit in the front-50, so the next driver run
+gives it a real row.  A reorder that silently re-tests already-green
+keys while new keys starve fails here.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from mini_sql_engine_spark.oracles import ORACLES
+from mini_sql_engine_spark.queries import QUERIES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_CAP = 50
+
+
+def _green_keys() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            artifact = json.load(fh)
+        for key, row in artifact.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            ):
+                green.add(key)
+    return green
+
+
+def test_front_50_contains_every_ungreen_hash_checked_key():
+    green = _green_keys()
+    front = list(QUERIES)[:DRIVER_CAP]
+    ungreen = [k for k in ORACLES if k not in green]
+    starved = sorted(set(ungreen) - set(front))
+    assert not starved, (
+        f"hash-checked keys with no green driver row must lead the "
+        f"registry (driver cap {DRIVER_CAP}); starved: {starved}"
+    )
+
+
+def test_every_query_key_has_oracle_or_is_declared_rows_only():
+    # every oracle key must exist in the registry (no dangling SQL)
+    dangling = sorted(set(ORACLES) - set(QUERIES))
+    assert not dangling, f"oracles without queries: {dangling}"
+
+
+def test_registry_is_large_enough_to_need_rotation():
+    # guards against an accidental truncation of the registry itself
+    assert len(QUERIES) >= 130
+    assert len(ORACLES) >= 119
