@@ -1878,11 +1878,16 @@ def ntile_bucket(spark, sf_dir):
     ranked = SO.with_rank(o, F.col("o_totalprice"), F.col("o_orderkey"), alias="rn")
     n_df = o.agg(F.count(F.lit(1)).alias("_n"))
     # ntile(k): the first n%k buckets hold n div k + 1 rows, the rest
-    # n div k — bucket recovered from the global position rn, k = 8
+    # n div k — bucket recovered from the global position rn, k = 8.
+    # greatest(_, 1) keeps the ELSE divisor nonzero when n < k (ntile
+    # then assigns bucket = rn, which the THEN branch already covers,
+    # but `div 0` would otherwise NULL silently if this expression is
+    # reused on a tiny input).
     bucket = F.expr(
         "CASE WHEN rn <= (_n % 8) * (_n div 8 + 1) "
         "THEN (rn - 1) div (_n div 8 + 1) + 1 "
-        "ELSE (_n % 8) + (rn - 1 - (_n % 8) * (_n div 8 + 1)) div (_n div 8) + 1 "
+        "ELSE (_n % 8) + (rn - 1 - (_n % 8) * (_n div 8 + 1)) "
+        "div greatest(_n div 8, 1) + 1 "
         "END"
     ).cast("long")
     return (
@@ -1942,6 +1947,13 @@ def hll_distinct(spark, sf_dir):
     sketch path you run at 100 TB (one pass, O(1) state per group)
     next to the exact shuffle-heavy path that verifies it at test
     scale. Oracle emits the exact counts + TRUE.
+
+    The `ok` certificate bakes a probabilistic bound into an exact-
+    hash contract: at rsd=0.02 the 5% tolerance is 2.5 standard
+    errors, so a dataset where HLL++ lands outside it (~1% chance per
+    group on adversarial data) would red the key — accepted as a
+    deliberate tolerance certificate; the fixed test tables make it
+    deterministic in practice.
 
     Plan note: mixing countDistinct with other aggregates makes Spark
     EXPAND the input (one row copy per distinct clause). HLL sketches

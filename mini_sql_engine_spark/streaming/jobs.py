@@ -234,11 +234,22 @@ def run_incremental_state(
     a checkpoint-replayed batch recomputes the identical version from
     the identical predecessor, so replays are no-ops. Per batch the
     work is the DELTA's aggregate plus a state-sized merge join; the
-    raw history is never rescanned.
+    raw history is never rescanned. Versions older than the
+    predecessor a batch merged from are pruned after its write —
+    storage holds at most two versions, and a replay of the newest
+    batch still finds its predecessor intact.
+
+    Listing/pruning use driver-local ``os``, so ``state_dir`` must be
+    a filesystem the driver mounts (local disk, NFS, a FUSE-mounted
+    object store). A direct ``s3://``/``hdfs://`` URI needs the same
+    three calls (list, read-latest, delete-old) re-expressed via the
+    Hadoop FileSystem API; the versioning protocol itself is
+    path-scheme-agnostic.
 
     Returns the final state as a batch DataFrame.
     """
     import os
+    import shutil
 
     def _versions() -> list[int]:
         if not os.path.isdir(state_dir):
@@ -277,6 +288,10 @@ def run_incremental_state(
         else:
             merged = delta
         merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        # prune: keep the predecessor this batch merged from (a replay
+        # of THIS batch re-reads it) and drop everything older
+        for v in prior[:-1]:
+            shutil.rmtree(f"{state_dir}/v{v}", ignore_errors=True)
 
     run_foreach_batch(events, sink, checkpoint_dir)
     versions = _versions()

@@ -463,6 +463,8 @@ def test_incremental_state_equals_batch_aggregate(spark, events_stream_dir, tmp_
         .collect()
     }
     assert got == expect
-    # multiple versions prove it actually ran incrementally
+    # pruning keeps exactly the final version + its predecessor (the
+    # pair a replay of the newest batch needs); with >= 2 micro-batches
+    # the predecessor's presence also proves it ran incrementally
     import os
-    assert len(os.listdir(tmp_path / "state")) >= 2
+    assert len(os.listdir(tmp_path / "state")) == 2
