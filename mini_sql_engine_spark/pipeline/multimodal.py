@@ -3,12 +3,12 @@
 Image/audio/video payloads are carried as ``binary`` columns next to a
 typed metadata struct; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so each Python worker sees whole record
-batches, never single rows. The decode kernels themselves are STUBBED
-(per build constraints: no image/audio libraries in this container) —
-``decode_image`` raises ``NotImplementedError`` unless
-``fake_decode=True``, which substitutes a deterministic synthetic
-decoder so the Spark-side plumbing (schema, batching, partitioning) is
-real and testable end-to-end.
+batches, never single rows. PNG payloads DECODE FOR REAL via the
+stdlib-only baseline codec (``pipeline.png``); other container
+formats raise ``NotImplementedError`` (no image/audio libraries in
+this container — plug Pillow/torchaudio into ``decode_image`` in
+production). ``fake_decode=True`` substitutes a deterministic
+synthetic decoder so plumbing tests run on non-decodable payloads.
 
 Scale notes:
 - Binary blobs dominate row size → ``spark.sql.files.maxPartitionBytes``
@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from mini_sql_engine_spark.pipeline import png
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -62,12 +64,20 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder stub — image libs are not available in this
-    container. Plug Pillow/torchvision here in production."""
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real decode kernel → ``(width, height, channels, pixels)``.
+
+    PNG payloads decode for real via the stdlib-only baseline codec
+    (``pipeline.png`` — zlib inflate + RFC 2083 unfiltering; no
+    imaging library needed). Every other container format still
+    raises ``NotImplementedError`` — plug Pillow/torchvision here in
+    production; the (w, h, c, pixels) contract is theirs too."""
+    if png.is_png(payload):
+        return png.decode_png(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_decode=True for the deterministic stand-in"
+        "only PNG decodes in this environment (stdlib codec); other "
+        "formats need an imaging library — or use fake_decode=True "
+        "for the deterministic stand-in"
     )
 
 
@@ -89,12 +99,15 @@ def extract_features(
     ``mapInPandas`` (Arrow record batches in/out; one Python process
     per task, amortized over thousands of rows)."""
 
+    def featurize(payload: bytes) -> list[float]:
+        if fake_decode:
+            return _fake_features(payload, dim)
+        # real path: features over DECODED PIXELS, not container bytes
+        _w, _h, _c, pixels = decode_image(payload)
+        return _fake_features(pixels, dim)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake_decode:
-                # Exercise the real path so the stub is honest.
-                for payload in pdf["payload"]:
-                    decode_image(payload)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -103,9 +116,7 @@ def extract_features(
                     ).astype("int32"),
                     # cheap stable content hash (FNV-1a over bytes)
                     "payload_hash": pdf["payload"].map(_fnv1a),
-                    "feature": pdf["payload"].map(
-                        lambda b: _fake_features(b, dim)
-                    ),
+                    "feature": pdf["payload"].map(featurize),
                 }
             )
 
@@ -138,24 +149,31 @@ def resize(
 ) -> DataFrame:
     """Batch resize over the binary column (``mapInPandas``).
 
-    The pixel kernel is stubbed like ``decode_image`` — in production
-    the decode→resize→re-encode happens here on the Arrow batch. The
-    engine-side contract (schema in/out, metadata rewrite, original
-    dims preserved, batch shape) is real and tested. With
+    Real path: decode → nearest-neighbor resample → re-encode on the
+    Arrow batch (PNG via the stdlib codec; other formats raise until
+    an imaging library is plugged into ``decode_image``). With
     ``fake_decode`` the payload passes through unchanged and only the
     typed metadata is rewritten — deterministic, so downstream
-    operators can be tested end-to-end."""
+    operators can be tested end-to-end without decodable payloads."""
+
+    def repack(payload: bytes) -> bytes:
+        w, h, c, pixels = decode_image(payload)
+        return png.encode_png(
+            target_w, target_h, c,
+            png.resize_nearest(w, h, c, pixels, target_w, target_h),
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake_decode:
-                for payload in pdf["payload"]:
-                    decode_image(payload)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],
-                    "mime": pdf["mime"],
+                    "payload": pdf["payload"]
+                    if fake_decode
+                    else pdf["payload"].map(repack),
+                    "mime": pdf["mime"]
+                    if fake_decode
+                    else "image/png",
                     "width": target_w,
                     "height": target_h,
                     "orig_width": pdf["width"],

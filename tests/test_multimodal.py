@@ -48,9 +48,129 @@ def test_extract_features_fake_decode(spark):
     }
 
 
-def test_real_decode_path_is_honest_stub(spark):
+def test_real_decode_path_raises_on_non_png(spark):
+    # synthesize_media payloads are UTF-8 text, not a decodable
+    # container — the real path must surface that, not silently no-op
     with pytest.raises(PythonException, match="NotImplementedError"):
         MM.extract_features(_media(spark), fake_decode=False).collect()
+
+
+# ---- real PNG decode kernel (stdlib codec, VERDICT r3 ask #4) ----
+
+from mini_sql_engine_spark.pipeline import png  # noqa: E402
+
+
+def _gradient_pixels(w: int, h: int, c: int) -> bytes:
+    return bytes(
+        (x * 7 + y * 13 + ch * 29) % 256
+        for y in range(h)
+        for x in range(w)
+        for ch in range(c)
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_codec_roundtrip(channels):
+    w, h = 9, 5
+    pix = _gradient_pixels(w, h, channels)
+    data = png.encode_png(w, h, channels, pix)
+    assert png.is_png(data)
+    rw, rh, rc, rpix = png.decode_png(data)
+    assert (rw, rh, rc) == (w, h, channels)
+    assert rpix == pix
+
+
+def test_png_decoder_reverses_all_filter_types():
+    """Hand-build a PNG whose rows use filters 1-4 (our encoder only
+    emits 0) and check the decode against an independently computed
+    expectation — the unfiltering math, not just roundtrip symmetry."""
+    import struct
+    import zlib
+
+    w, h, c = 4, 5, 3
+    stride = w * c
+    target = _gradient_pixels(w, h, c)
+
+    # forward-filter the target rows with types 0,1,2,3,4
+    rows = [bytearray(target[y * stride : (y + 1) * stride]) for y in range(h)]
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y]
+        enc = bytearray(cur)
+        for x in range(stride):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 1:
+                enc[x] = (cur[x] - a) & 0xFF
+            elif ftype == 2:
+                enc[x] = (cur[x] - b) & 0xFF
+            elif ftype == 3:
+                enc[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ftype]) + enc
+        prev = cur
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    rw, rh, rc, rpix = png.decode_png(data)
+    assert (rw, rh, rc) == (w, h, c)
+    assert rpix == target
+
+
+def _png_media(spark, n=12):
+    rows = []
+    for i in range(n):
+        w, h = 6 + i % 3, 4 + i % 2
+        pix = _gradient_pixels(w, h, 3)
+        rows.append((i, bytearray(png.encode_png(w, h, 3, pix)), "image/png", w, h))
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_real_png_decode_e2e(spark):
+    """The §2.10 real kernel end-to-end: Spark binary column of real
+    PNG bytes → mapInPandas decode → pixel-space features, matched
+    against a driver-side python oracle."""
+    media = _png_media(spark)
+    got = {r.media_id: r for r in
+           MM.extract_features(media, fake_decode=False).collect()}
+    for i, payload, _mime, _w, _h in media.collect():
+        _, _, _, pixels = png.decode_png(bytes(payload))
+        expect = MM._fake_features(pixels, 8)
+        assert got[i].feature == pytest.approx(expect, abs=1e-6)
+        assert got[i].n_bytes == len(bytes(payload))
+    # pixel features differ from container-byte features: decode ran
+    fake = {r.media_id: r.feature for r in
+            MM.extract_features(media, fake_decode=True).collect()}
+    assert any(fake[i] != got[i].feature for i in fake)
+
+
+def test_resize_real_png_decode_e2e(spark):
+    media = _png_media(spark, n=6)
+    out = {r.media_id: r for r in
+           MM.resize(media, 4, 3, fake_decode=False).collect()}
+    for i, payload, _mime, w, h in media.collect():
+        _, _, c, pixels = png.decode_png(bytes(payload))
+        expect = png.resize_nearest(w, h, c, pixels, 4, 3)
+        rw, rh, rc, rpix = png.decode_png(bytes(out[i].payload))
+        assert (rw, rh, rc) == (4, 3, c)
+        assert rpix == expect
+        assert (out[i].orig_width, out[i].orig_height) == (w, h)
 
 
 def test_frame_sample(spark):
