@@ -1400,3 +1400,143 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 """
+
+# ─────────────── §2.15 round-5 additions ───────────────
+
+ORACLES["bitwise_funcs"] = """
+SELECT o_orderkey,
+       o_orderkey & 1023 AS key_and,
+       o_orderkey | 16 AS key_or,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2 AS key_shl,
+       o_orderkey >> 3 AS key_shr,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS key_bits
+FROM orders
+"""
+
+ORACLES["filtered_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count_if(l_quantity > 30) AS BIGINT) AS n_bulk,
+       CAST(sum(CASE WHEN l_discount < 0.05
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+            AS DECIMAL(18,2)) AS qty_low_disc,
+       bool_and(l_tax >= 0) AS all_taxed,
+       bool_or(l_discount > 0.09) AS any_deep_disc
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["regr_agg"] = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["levenshtein_pairs"] = """
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60))
+            AS BIGINT) AS edit_dist
+FROM documents a, documents b
+WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id
+"""
+
+# same raw-URL synthesis + same normalization chain as the Spark side;
+# DuckDB regexp_replace needs the explicit 'g' flag to mirror Spark's
+# replace-all default
+ORACLES["url_normalize"] = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+         || '.Example.COM/docs/' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                  WHEN doc_id % 5 = 0 THEN '?utm_campaign=x'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE '' END) AS u
+  FROM documents
+), steps AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(u, '#.*', '', 'g'),
+               'utm_[a-z]+=[^&]*&', '', 'g'),
+             '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+           '[?&]$', '', 'g') AS u
+  FROM raw
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]+'))
+           || regexp_replace(u, '^[A-Za-z]+://[^/?#]+', '', 'g'),
+           '/$', '', 'g') AS url
+  FROM steps
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS first_doc
+FROM canon GROUP BY url
+"""
+
+ORACLES["ngram_top"] = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+ORACLES["posexplode_split"] = """
+SELECT doc_id,
+       unnest(range(0, len(string_split(text, ' ')))) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents WHERE doc_id < 50
+"""
+
+ORACLES["weighted_avg"] = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         AS w_avg_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["entropy_agg"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+       CAST(sum(c) AS BIGINT) AS n_events
+FROM c GROUP BY user_id
+"""
+
+# coalesce: DuckDB's array_to_string([]) is NULL; Spark's
+# array_join(array()) is '' — '' is the semantic we want
+ORACLES["array_set_funcs"] = """
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_distinct(list_intersect(
+         string_split(text, ' '), ['the', 'a', 'data', 'row']))), ','), '')
+         AS stop_hits,
+       coalesce(array_to_string(list_sort(list_distinct(list_filter(
+         string_split(text, ' '),
+         t -> NOT list_contains(['the', 'a', 'data', 'row'], t)))), ','), '')
+         AS content_toks,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         AS n_unique
+FROM documents
+"""

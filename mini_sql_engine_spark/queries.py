@@ -2197,6 +2197,206 @@ def sample_k(spark, sf_dir):
     )
 
 
+# ─────────────── §2.15 round-5 additions ───────────────
+
+
+def bitwise_funcs(spark, sf_dir):
+    """Bitwise expression surface (AND/OR/XOR/shifts/popcount) — pure
+    JVM codegen, zero shuffle; the building blocks of bitmap indexes
+    and hash-partitioning tricks."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 1023").alias("key_and"),
+        F.expr("o_orderkey | 16").alias("key_or"),
+        F.expr("o_orderkey ^ o_custkey").alias("key_xor"),
+        F.shiftleft("o_orderkey", 2).alias("key_shl"),
+        F.shiftright("o_orderkey", 3).alias("key_shr"),
+        F.bit_count("o_orderkey").cast("long").alias("key_bits"),
+    )
+
+
+def filtered_agg(spark, sf_dir):
+    """Conditional aggregates (SQL FILTER clause surface): count_if,
+    filtered decimal sum, bool_and/bool_or — one hash aggregate with
+    map-side partials; the conditions evaluate per-row inside codegen,
+    never as a second scan."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count_if(F.col("l_quantity") > 30).alias("n_bulk"),
+        F.sum(
+            F.when(F.col("l_discount") < 0.05,
+                   F.col("l_quantity").cast("decimal(18,2)"))
+        ).cast("decimal(18,2)").alias("qty_low_disc"),
+        F.bool_and(F.col("l_tax") >= 0).alias("all_taxed"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+    )
+
+
+def regr_agg(spark, sf_dir):
+    """Linear-regression aggregates (slope/intercept/R²) per group —
+    Spark computes these as single-pass mergeable moments, same
+    shuffle profile as sum/count (see stats_agg). Rounding absorbs
+    float accumulation-order noise vs the oracle."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n_pairs"),
+    )
+
+
+def levenshtein_pairs(spark, sf_dir):
+    """Bounded all-pairs edit distance over a capped document subset
+    (broadcast self-theta-join; 30 docs → ≤435 pairs). At 100 TB this
+    exact kernel runs INSIDE LSH candidate buckets (dedup_near's
+    verify stage) — the uncapped all-pairs form exists only as the
+    verification oracle, and the cap is part of the operator's
+    contract, not an accident."""
+    d = (
+        Catalog(spark, sf_dir).table("documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.substring("text", 1, 60).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+            .cast("long").alias("edit_dist"),
+        )
+    )
+
+
+def url_normalize(spark, sf_dir):
+    """URL canonicalization dedup — the crawl-pipeline step before
+    content dedup: case-fold scheme+host, strip fragments and
+    utm_* tracking params, drop trailing slashes, then count the
+    variants that collapse onto each canonical URL. Pure expression
+    pipeline (map-side) + one count shuffle. URLs are synthesized
+    deterministically from (doc_id, source) — both engines build the
+    SAME raw strings, so the parity check exercises the normalizer."""
+    d = Catalog(spark, sf_dir).table("documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&ref="),
+                        (F.col("doc_id") % 5).cast("string")))
+        .when(F.col("doc_id") % 5 == 0, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("#sec"), (F.col("doc_id") % 3).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    u = F.regexp_replace(raw, "#.*", "")                      # fragment
+    u = F.regexp_replace(u, "utm_[a-z]+=[^&]*&", "")          # inner utm_
+    u = F.regexp_replace(u, "[?&]utm_[a-z]+=[^&]*", "")       # trailing utm_
+    u = F.regexp_replace(u, "[?&]$", "")
+    prefix = F.lower(F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+", 0))
+    rest = F.regexp_replace(u, "^[A-Za-z]+://[^/?#]+", "")
+    canon = F.regexp_replace(F.concat(prefix, rest), "/$", "")
+    return (
+        d.select(canon.alias("url"), "doc_id")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_variants"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+def ngram_top(spark, sf_dir):
+    """Corpus-wide top-20 bigrams: split → adjacent-pair HOF →
+    explode → count → TakeOrderedAndProject, deterministic tie-break
+    on the bigram itself. All token work is JVM higher-order
+    functions; the only shuffle is the count, whose map-side partials
+    collapse the (small) bigram vocabulary before the exchange."""
+    d = Catalog(spark, sf_dir).table("documents")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(_toks) - 1, 0)), "
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+    )
+    return (
+        d.select(F.split(F.col("text"), " ").alias("_toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+def posexplode_split(spark, sf_dir):
+    """Tokenize WITH POSITIONS (posexplode) — the shape chunkers and
+    span-label pipelines need; per-row generate, shuffle-free."""
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select("doc_id", F.posexplode(F.split(F.col("text"), " "))
+                 .alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+def weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per flag — the ratio-of-sums
+    aggregate (never avg-of-ratios). Both sums are exact DECIMAL, the
+    division happens once per group on identical operands → IEEE-
+    deterministic without rounding."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    pq = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    q = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    return li.groupBy("l_returnflag").agg(
+        (pq.cast("double") / q.cast("double")).alias("w_avg_price"),
+        q.cast("double").alias("total_qty"),
+    )
+
+
+def entropy_agg(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix — the
+    distribution-shape aggregate corpus-mixing monitors use. Computed
+    as ln(N) − Σ c·ln(c)/N from per-(user,type) counts: two hash
+    aggregates, no window, no explode; rounding absorbs libm + float
+    accumulation-order differences."""
+    ev = Catalog(spark, sf_dir).table("events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return c.groupBy("user_id").agg(
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy"),
+        n.cast("long").alias("n_events"),
+    )
+
+
+def array_set_funcs(spark, sf_dir):
+    """Array set algebra (intersect/except/distinct) against a
+    constant vocabulary, canonicalized by sort+join so both engines'
+    set-op ordering quirks disappear. Pure per-row JVM expressions."""
+    d = Catalog(spark, sf_dir).table("documents")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "data", "row")])
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect(toks, stop))), ","
+        ).alias("stop_hits"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_except(toks, stop))), ","
+        ).alias("content_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -2233,6 +2433,18 @@ QUERIES: dict[str, QueryFn] = {
     "sample_k": sample_k,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    # — (a') hash-checked round-5 additions (§2.15): no driver row
+    #   yet either, so they share the front-50 —
+    "bitwise_funcs": bitwise_funcs,
+    "filtered_agg": filtered_agg,
+    "regr_agg": regr_agg,
+    "levenshtein_pairs": levenshtein_pairs,
+    "url_normalize": url_normalize,
+    "ngram_top": ngram_top,
+    "posexplode_split": posexplode_split,
+    "weighted_avg": weighted_avg,
+    "entropy_agg": entropy_agg,
+    "array_set_funcs": array_set_funcs,
     # — (b) filler: stalest green keys (green only in the round-2
     #   artifact, two rounds old) —
     "win_rank": win_rank,
@@ -2254,6 +2466,8 @@ QUERIES: dict[str, QueryFn] = {
     "median_agg": median_agg,
     "null_safe_join": null_safe_join,
     "doc_chunks": doc_chunks,
+    # ——— driver cap boundary (50) ———
+    # — r2-green keys that did not fit the front-50 —
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
     "text_stats": text_stats,
@@ -2262,8 +2476,6 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": text_quality,
     "tfidf": tfidf,
     "q7_volume": q7_volume,
-    # ——— driver cap boundary (50) ———
-    # — r2-green keys that did not fit the front-50 —
     "q10_returned": q10_returned,
     "q14_promo": q14_promo,
     "q18_large_orders": q18_large_orders,

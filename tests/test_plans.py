@@ -311,3 +311,35 @@ def test_q6_predicates_reach_scan(spark):
     line = pushed[0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in line, (frag, line)
+
+
+# round-5 (§2.15) shapes: all pure-JVM expression/aggregate plans.
+# levenshtein_pairs is the one sanctioned nested-loop: an explicitly
+# capped (30-doc) broadcast self-theta-join whose uncapped form exists
+# only as a verification oracle (docstring contract).
+ROUND5_KEYS = [
+    "bitwise_funcs", "filtered_agg", "regr_agg", "url_normalize",
+    "ngram_top", "posexplode_split", "weighted_avg", "entropy_agg",
+    "array_set_funcs", "levenshtein_pairs",
+]
+
+
+def test_round5_shapes_stay_jvm_side(spark):
+    for qkey in ROUND5_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey != "levenshtein_pairs":
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_levenshtein_pairs_is_broadcast_and_capped(spark):
+    p = plan(Q.levenshtein_pairs(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p, p  # capped side broadcast
+    assert "PushedFilters" in p or "doc_id" in p  # cap reaches the scan
+
+
+def test_ngram_top_plans_as_take_ordered(spark):
+    """Top-20 must not global-sort the bigram vocabulary."""
+    p = plan(Q.ngram_top(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
