@@ -1540,3 +1540,124 @@ SELECT doc_id,
          AS n_unique
 FROM documents
 """
+
+ORACLES["ohlc_bars"] = """
+WITH b AS (
+  SELECT user_id,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       max(value) AS high, min(value) AS low,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY user_id, hour
+"""
+
+ORACLES["rolling_wau"] = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), mx AS (
+  SELECT max(day) AS max_day FROM ud
+), ex AS (
+  SELECT day + CAST(t.i AS INTEGER) AS d, user_id
+  FROM ud, unnest(range(0, 7)) AS t(i)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM ex, mx WHERE d <= mx.max_day GROUP BY d
+"""
+
+# same pair graph + recursive closure as dedup_cc, then keep-best
+ORACLES["cluster_canonical"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges0 AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.6
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges0
+  UNION ALL
+  SELECT doc_b, doc_a FROM edges0
+), reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+), reps AS (
+  SELECT node AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(r.cluster_rep, d.doc_id) AS cluster, d.n_chars
+  FROM documents d LEFT JOIN reps r USING (doc_id)
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM lab
+)
+SELECT cluster,
+       max(CASE WHEN rnk = 1 THEN doc_id END) AS canonical_doc,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(n_chars) AS max_chars
+FROM rk GROUP BY cluster
+"""
+
+ORACLES["percentile_disc"] = """
+WITH d AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS p50_disc,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_extendedprice END)
+         AS p90_disc,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM d GROUP BY l_returnflag
+"""
+
+ORACLES["kv_parse"] = """
+WITH kv AS (
+  SELECT o_orderkey,
+         'status=' || o_orderstatus
+         || '&prio=' || replace(o_orderpriority, ' ', '+')
+         || '&bucket=' || CAST(o_orderkey % 16 AS VARCHAR) AS s
+  FROM orders
+)
+SELECT o_orderkey,
+       regexp_extract(s, 'status=([^&]*)', 1) AS status,
+       regexp_extract(s, 'prio=([^&]*)', 1) AS prio,
+       CAST(regexp_extract(s, 'bucket=([^&]*)', 1) AS BIGINT) AS bucket
+FROM kv
+"""
+
+ORACLES["union_by_name"] = """
+(SELECT o_orderkey, o_totalprice, o_orderstatus
+ FROM orders WHERE o_orderstatus = 'O')
+UNION ALL BY NAME
+(SELECT o_orderkey, o_orderpriority, o_orderstatus
+ FROM orders WHERE o_orderstatus = 'F')
+"""

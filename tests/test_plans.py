@@ -321,7 +321,14 @@ ROUND5_KEYS = [
     "bitwise_funcs", "filtered_agg", "regr_agg", "url_normalize",
     "ngram_top", "posexplode_split", "weighted_avg", "entropy_agg",
     "array_set_funcs", "levenshtein_pairs",
+    "ohlc_bars", "rolling_wau", "cluster_canonical", "percentile_disc",
+    "kv_parse", "union_by_name",
 ]
+
+# sanctioned nested loops in round-5 shapes: levenshtein_pairs is the
+# capped broadcast all-pairs kernel; rolling_wau carries a 1-row
+# max-day scalar crossJoin (same class as SCALAR_NLJ_OK above)
+ROUND5_NLJ_OK = {"levenshtein_pairs", "rolling_wau"}
 
 
 def test_round5_shapes_stay_jvm_side(spark):
@@ -329,8 +336,18 @@ def test_round5_shapes_stay_jvm_side(spark):
         p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
         assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
         assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
-        if qkey != "levenshtein_pairs":
+        if qkey not in ROUND5_NLJ_OK:
             assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_rolling_wau_has_no_range_join(spark):
+    """The WAU rewrite must be explode + hash aggregate — a trailing
+    range JOIN would be the quadratic form the docstring forbids.
+    The only join allowed is the 1-row scalar bound."""
+    p = plan(Q.rolling_wau(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" not in p, p
+    assert "Generate" in p or "explode" in p.lower(), p
 
 
 def test_levenshtein_pairs_is_broadcast_and_capped(spark):
