@@ -1661,3 +1661,207 @@ UNION ALL BY NAME
 (SELECT o_orderkey, o_orderpriority, o_orderstatus
  FROM orders WHERE o_orderstatus = 'F')
 """
+
+# ─────────────── §2.16 round-6 additions ───────────────
+
+# Portable MinHash: identical md5-prefix hash family both engines;
+# lexicographic min on fixed-width lowercase hex == numeric min.
+ORACLES["minhash_sig"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE len(w) >= 3)
+), seeds AS (SELECT unnest(generate_series(0, 7)) AS seed)
+SELECT doc_id,
+       CAST(seed AS BIGINT) AS seed,
+       min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16))
+         AS minhash
+FROM sh, seeds
+GROUP BY doc_id, seed
+"""
+
+ORACLES["lsh_candidates"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE len(w) >= 3)
+), seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16))
+           AS minhash
+  FROM sh, seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig
+  GROUP BY doc_id, seed // 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM banded a
+JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+"""
+
+ORACLES["embed_centroid"] = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+FROM (SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+ORACLES["embed_cosine_adj"] = """
+WITH p AS (
+  SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), terms AS (
+  SELECT vec_id,
+         CAST(ea[i] AS DOUBLE) AS x, CAST(eb[i] AS DOUBLE) AS y
+  FROM (SELECT vec_id, ea, eb,
+               unnest(generate_series(1, len(ea))) AS i
+        FROM p)
+)
+SELECT vec_id,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+         AS cos_next
+FROM terms
+GROUP BY vec_id
+"""
+
+ORACLES["dup_ngram_frac"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           || ' ' || w[i+4] AS shingle
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 4)) AS i
+        FROM toks WHERE len(w) >= 5)
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM pairs GROUP BY shingle
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_frac
+FROM pairs p JOIN dfreq d ON p.shingle = d.shingle
+GROUP BY p.doc_id
+"""
+
+ORACLES["incremental_dedup"] = """
+WITH batch AS (
+  SELECT doc_id, lang, md5(text) AS h
+  FROM documents WHERE doc_id % 5 = 0
+), corpus AS (
+  SELECT DISTINCT md5(text) AS h
+  FROM documents WHERE doc_id % 5 <> 0
+), first_in_batch AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT doc_id, lang
+FROM first_in_batch
+WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)
+"""
+
+# Front-door SQL (identical text on Spark): NOT IN three-valued logic.
+ORACLES["not_in_nulls"] = """
+SELECT
+  CAST((SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT nullif(c_custkey, 7) FROM customer)) AS BIGINT)
+    AS cnt_with_null,
+  CAST((SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_custkey <> 7)) AS BIGINT)
+    AS cnt_clean,
+  CAST((SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer
+           WHERE c_mktsegment = 'BUILDING')) AS BIGINT)
+    AS cnt_not_building
+"""
+
+ORACLES["order_gaps"] = """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(max(date_diff('day', prev_d, d)) AS BIGINT) AS max_gap_days,
+       round(avg(CAST(date_diff('day', prev_d, d) AS DOUBLE)), 2)
+         AS avg_gap_days
+FROM seq
+WHERE prev_d IS NOT NULL
+GROUP BY o_custkey
+"""
+
+ORACLES["share_of_total"] = """
+WITH rev AS (
+  SELECT n_name, r_name AS region_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY n_name, r_name
+)
+SELECT n_name, region_name, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share_total,
+       round(revenue / sum(revenue) OVER (PARTITION BY region_name), 6)
+         AS share_region
+FROM rev
+"""
+
+ORACLES["ts_funcs"] = """
+SELECT event_id,
+       CAST(hour(ts) AS BIGINT) AS h,
+       CAST(minute(ts) AS BIGINT) AS m,
+       CAST(date_part('second', ts) AS BIGINT) AS s,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_hour,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+       CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+       CAST(isodow(ts) AS BIGINT) AS iso_dow
+FROM events
+"""
+
+ORACLES["str_funcs2"] = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_type, 10, '.') AS type_rpad,
+       reverse(p_name) AS name_rev,
+       repeat(p_brand, 2) AS brand_twice,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_folded,
+       CAST(strpos(p_name, 'red') AS BIGINT) AS red_pos,
+       CAST(ascii(substr(p_name, 1, 1)) AS BIGINT) AS first_ascii,
+       split_part(p_name, ' ', 2) AS name_word2
+FROM part
+"""

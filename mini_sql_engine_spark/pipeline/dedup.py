@@ -317,3 +317,192 @@ def hamming_pairs(sim: DataFrame, max_distance: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def minhash_signatures_md5(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """Engine-portable MinHash signatures (hash-checked Qkey
+    ``minhash_sig``): for seed i, sig[i] = min over the doc's distinct
+    word n-gram shingles of the 16-hex-digit md5 prefix of
+    ``"<i>:<shingle>"``, compared as a STRING — lexicographic min on
+    fixed-width lowercase hex equals numeric min, so any engine
+    computes the identical signature (the DuckDB twin hash-checks it).
+    The xxhash64 family in ``minhash_signatures`` stays the at-scale
+    default (cheaper per hash); this variant is the cross-engine
+    witness that the banding algebra is right.
+
+    Long output (doc_id, seed, minhash), one row per doc per seed.
+    Docs with fewer than ``n`` tokens have no shingles and are dropped
+    (a sub-shingle doc is exact dedup's job, not MinHash's).
+
+    Plan: the distinct shingle set is built in-row (``array_distinct``
+    over a HOF — no shuffle), all ``num_hashes`` minima are one per-row
+    expression evaluated ONCE behind a ``posexplode`` generator
+    barrier. The operator is shuffle-free.
+    """
+    from mini_sql_engine_spark.functions.text import bind_once
+
+    sh = F.array_distinct(shingles(tokens("text"), n))
+
+    def sigs(v: Column) -> Column:
+        return F.when(
+            F.size(v) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(
+                        v,
+                        lambda s: F.substring(
+                            F.md5(
+                                F.concat(i.cast("string"), F.lit(":"), s)
+                                .cast("binary")
+                            ),
+                            1,
+                            16,
+                        ),
+                    )
+                ),
+            ),
+        )
+
+    return (
+        docs.select("doc_id", bind_once(sh, sigs).alias("sigs"))
+        # posexplode is a generator barrier: the signature expression
+        # runs once per row, not once per downstream column reference
+        .select("doc_id", F.posexplode("sigs").alias("seed", "minhash"))
+        .select(
+            "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
+        )
+    )
+
+
+def lsh_candidates_md5(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded-LSH candidate pairs over the PORTABLE md5 signatures
+    (hash-checked Qkey ``lsh_candidates``): seeds are grouped into
+    bands of ``rows_per_band``; a band's key is the md5 of its
+    seed-ordered minhash vector; docs sharing any (band, key) bucket
+    are candidates. Output (doc_a < doc_b, n_shared_bands).
+
+    Same bucket-join shape as ``minhash_lsh_candidates`` (the xxhash64
+    scale path, which adds the hot-bucket skew cap); kept uncapped here
+    so the DuckDB twin is exact. One keyed shuffle builds the band
+    keys, one (band, key) exchange joins the buckets, one pair-keyed
+    aggregate counts shared bands — no all-pairs stage anywhere.
+    """
+    sigs = minhash_signatures_md5(docs, n=n, num_hashes=num_hashes)
+    banded = (
+        sigs.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                ).cast("binary")
+            ).alias("band_key")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def incremental_dedup(docs: DataFrame, mod: int = 5) -> DataFrame:
+    """Incremental ingest dedup (hash-checked Qkey
+    ``incremental_dedup``): treat ``doc_id % mod == 0`` as the newly
+    arrived batch and the rest as the already-ingested corpus; keep
+    each new doc only if (a) it is the first occurrence of its content
+    hash WITHIN the batch (min doc_id wins) and (b) its hash does not
+    already exist in the corpus. Output the surviving (doc_id, lang).
+
+    Plan discipline (the 100 TB shape): the corpus side is reduced to
+    DISTINCT content hashes before the anti join — keys only ever
+    cross the wire, never text (same rule as ``cdc_apply``'s deletes);
+    the within-batch winner is one keyed window on the hash. At real
+    scale the corpus hash set lives as a bucketed table so repeated
+    ingests co-locate free.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("text").cast("binary")).alias("h")
+    batch = docs.filter((F.col("doc_id") % mod) == 0).select(
+        "doc_id", "lang", h
+    )
+    corpus_hashes = (
+        docs.filter((F.col("doc_id") % mod) != 0).select(h).distinct()
+    )
+    first_in_batch = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("h").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return first_in_batch.join(corpus_hashes, "h", "left_anti").select(
+        "doc_id", "lang"
+    )
+
+
+def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-document duplication score (hash-checked Qkey
+    ``dup_ngram_frac``), the RefinedWeb/Gopher-style corpus-level twin
+    of ``repetition_filter``'s within-doc ratio: for each doc, the
+    fraction of its DISTINCT word n-gram shingles that occur in at
+    least one other document. High fractions flag boilerplate and
+    template spam that exact dedup misses.
+
+    Plan: distinct (doc, shingle) pairs are built in-row
+    (``array_distinct`` before ``explode``); document frequency is one
+    hash aggregate on the shingle key (map-side combine); the join
+    back to pairs is shingle-keyed; the per-doc roll-up is a second
+    keyed aggregate. Linear in total shingle volume — no pair
+    expansion, so unlike Jaccard pairs it needs no df cap to scale.
+    """
+    pairs = materialized(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(tokens("text"), n))
+            ).alias("shingle"),
+        )
+    )
+    dfreq = pairs.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        pairs.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "dup_frac",
+        )
+    )

@@ -453,3 +453,54 @@ def cosine_dup_pairs(
     # a pair colliding in several tables scores identically in each —
     # keep one row
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding centroid in long form (hash-checked Qkey
+    ``embed_centroid``): (label, dim, centroid) with centroid = the
+    dimension-wise mean, rounded to 4 decimals. The building block of
+    IVF training, cluster summaries, and class-prototype dedup.
+
+    Plan: ``posexplode`` turns each vector into (dim, value) rows —
+    a per-row generate, no shuffle — then ONE hash aggregate on
+    (label, dim) with map-side partials. Output cardinality is
+    |labels| × dim regardless of corpus size, so the result is always
+    broadcastable back. Floats are cast to double BEFORE averaging so
+    the oracle (which must do the same) sees identical operands.
+    """
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+        .select(
+            "label", F.col("dim").cast("long").alias("dim"), "centroid"
+        )
+    )
+
+
+def adjacent_cosine(embeddings: DataFrame) -> DataFrame:
+    """Cosine similarity between consecutive vec_ids (hash-checked
+    Qkey ``embed_cosine_adj``): the exact-scoring kernel every
+    similarity operator here shares (``_dot``/``_norm``), isolated on
+    a deterministic pair set so DuckDB can replay it bit-for-bit —
+    the cross-engine witness that the float→double scoring math in
+    ``sim_topk``/``dedup_embed`` is right (those stay rows-only: LSH
+    seeds and GEMM batch order are engine-local).
+
+    Plan: a self-join on vec_id+1 — an equi hash join, broadcastable
+    on the smaller side; dot and norms are per-row HOF expressions
+    computed in index order (same order the oracle's indexed sum
+    uses), rounded at 4 decimals.
+    """
+    a = embeddings.select("vec_id", F.col("embedding").alias("ea"))
+    b = embeddings.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb")
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+        4,
+    )
+    return a.join(b, "vec_id").select("vec_id", cos.alias("cos_next"))

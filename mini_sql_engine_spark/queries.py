@@ -2547,6 +2547,154 @@ def union_by_name(spark, sf_dir):
     return open_orders.unionByName(finished, allowMissingColumns=True)
 
 
+# ─────────────── §2.16 round-6 additions ───────────────
+
+
+def minhash_sig(spark, sf_dir):
+    """Engine-portable MinHash signatures (md5-prefix hash family,
+    string min) — elevates the signature algebra under ``dedup_near``
+    from rows-only to hash-checked. Shuffle-free per-row expression."""
+    return DD.minhash_signatures_md5(
+        Catalog(spark, sf_dir).table("documents")
+    )
+
+
+def lsh_candidates(spark, sf_dir):
+    """Banded-LSH candidate pairs over the portable signatures — the
+    bucket-join core of near-dup detection, hash-checked end to end
+    (band keys are md5 of seed-ordered minhash vectors, identical in
+    both engines)."""
+    return DD.lsh_candidates_md5(Catalog(spark, sf_dir).table("documents"))
+
+
+def embed_centroid(spark, sf_dir):
+    """Per-label embedding centroid, long (label, dim, centroid) form —
+    posexplode + one keyed hash aggregate; floats cast to double
+    before averaging on both engines."""
+    return SIM.label_centroids(Catalog(spark, sf_dir).table("embeddings"))
+
+
+def embed_cosine_adj(spark, sf_dir):
+    """Cosine between consecutive vec_ids — the exact float→double
+    scoring kernel shared by sim_topk/dedup_embed, hash-checked on a
+    deterministic pair set."""
+    return SIM.adjacent_cosine(Catalog(spark, sf_dir).table("embeddings"))
+
+
+def dup_ngram_frac(spark, sf_dir):
+    """Per-doc fraction of distinct 5-gram shingles shared with other
+    docs (cross-corpus boilerplate score). Linear in shingle volume —
+    df aggregate + shingle-keyed join, no pair expansion."""
+    return DD.dup_ngram_fraction(Catalog(spark, sf_dir).table("documents"))
+
+
+def incremental_dedup(spark, sf_dir):
+    """New-batch vs corpus content-hash dedup: within-batch first-wins
+    window + keys-only anti join against the ingested hash set."""
+    return DD.incremental_dedup(Catalog(spark, sf_dir).table("documents"))
+
+
+def not_in_nulls(spark, sf_dir):
+    """NOT IN three-valued logic (front-door SQL, identical text both
+    engines): a NULL in the IN-list makes NOT IN unknowable → zero
+    rows qualify; Catalyst plans the null-aware anti join."""
+    return _front_door_sql(spark, sf_dir, "not_in_nulls")
+
+
+def order_gaps(spark, sf_dir):
+    """Per-customer gaps between consecutive orders (days): lag over
+    ONE keyed shuffle, then a keyed aggregate — the inter-arrival
+    analysis shape."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    gaps = (
+        o.select(
+            "o_custkey",
+            d.alias("d"),
+            F.lag(d).over(w).alias("prev_d"),
+        )
+        .filter(F.col("prev_d").isNotNull())
+        .withColumn("gap", F.datediff("d", "prev_d"))
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+        F.round(F.avg(F.col("gap").cast("double")), 2).alias("avg_gap_days"),
+    )
+
+
+def share_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's revenue share of the world and
+    of its region. Windows run over the ALREADY-AGGREGATED 25-row
+    result (exact decimal sums underneath), so the empty-partition
+    global window is a non-issue at any scale."""
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.table("orders")
+        .join(c.table("customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_all = Window.partitionBy()
+    w_region = Window.partitionBy("region_name")
+    return rev.select(
+        "n_name",
+        "region_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6)
+        .alias("share_total"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6)
+        .alias("share_region"),
+    )
+
+
+def ts_funcs(spark, sf_dir):
+    """Timestamp function surface on events: hour/minute/second,
+    hour truncation, epoch seconds, ISO week and ISO day-of-week.
+    Engine parity notes: Spark ``weekday`` is 0=Monday → +1 equals
+    DuckDB ``isodow``; epoch seconds floor identically (positive ts);
+    session tz pinned UTC by the catalog."""
+    e = Catalog(spark, sf_dir).table("events")
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("m"),
+        F.second("ts").cast("long").alias("s"),
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("ts_hour"),
+        F.unix_timestamp("ts").cast("long").alias("epoch_sec"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+    )
+
+
+def str_funcs2(spark, sf_dir):
+    """Extended string surface (pad/reverse/repeat/translate/position/
+    ascii/split_part) — pure codegen expressions, zero shuffle."""
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_type", 10, ".").alias("type_rpad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_folded"),
+        F.instr("p_name", "red").cast("long").alias("red_pos"),
+        F.ascii(F.substring("p_name", 1, 1)).cast("long").alias("first_ascii"),
+        F.split_part("p_name", F.lit(" "), F.lit(2)).alias("name_word2"),
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -2601,8 +2749,23 @@ QUERIES: dict[str, QueryFn] = {
     "percentile_disc": percentile_disc,
     "kv_parse": kv_parse,
     "union_by_name": union_by_name,
-    # — (b) filler: stalest green keys (green only in the round-2
-    #   artifact, two rounds old) —
+    # — (a'') hash-checked round-6 additions (§2.16): brand new this
+    #   round; with (a)+(a') they fill the front-50 exactly, so every
+    #   hash-checked key without a green artifact row gets its driver
+    #   row in CORRECTNESS_r04 —
+    "minhash_sig": minhash_sig,
+    "lsh_candidates": lsh_candidates,
+    "embed_centroid": embed_centroid,
+    "embed_cosine_adj": embed_cosine_adj,
+    "dup_ngram_frac": dup_ngram_frac,
+    "incremental_dedup": incremental_dedup,
+    "not_in_nulls": not_in_nulls,
+    "order_gaps": order_gaps,
+    "share_of_total": share_of_total,
+    "ts_funcs": ts_funcs,
+    "str_funcs2": str_funcs2,
+    # ——— driver cap boundary (50) ———
+    # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,
     "win_running_sum": win_running_sum,
@@ -2614,7 +2777,6 @@ QUERIES: dict[str, QueryFn] = {
     "win_session": win_session,
     "latest_per_key": latest_per_key,
     "json_typed": json_typed,
-    # ——— driver cap boundary (50) ———
     # — r2-green keys that did not fit the front-50 —
     "json_funcs": json_funcs,
     "array_hof": array_hof,
