@@ -1865,3 +1865,227 @@ SELECT p_partkey,
        split_part(p_name, ' ', 2) AS name_word2
 FROM part
 """
+
+# ─────────────── §2.17 round-7 additions ───────────────
+
+ORACLES["group_split"] = """
+WITH s AS (
+  SELECT CASE WHEN substr(md5(source), 1, 8) < 'cc000000' THEN 'train'
+              WHEN substr(md5(source), 1, 8) < 'e6000000' THEN 'val'
+              ELSE 'test' END AS split,
+         lang, source, n_chars
+  FROM documents
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang
+"""
+
+ORACLES["label_balance"] = """
+WITH m AS (
+  SELECT min(n) AS m FROM (
+    SELECT count(*) AS n FROM documents GROUP BY lang)
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= (SELECT m FROM m)
+"""
+
+ORACLES["zscore_outliers"] = """
+WITH st AS (
+  SELECT l_returnflag,
+         CAST(sum(x) AS DOUBLE) AS s1,
+         CAST(sum(x * x) AS DOUBLE) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS x
+        FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       round((CAST(l_extendedprice AS DOUBLE) - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS z
+FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+WHERE abs(round((CAST(l_extendedprice AS DOUBLE) - s1 / n)
+                / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4)) > 1.6
+"""
+
+ORACLES["winsorize"] = """
+WITH lim AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS lo,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       min(lo) AS lo,
+       min(hi) AS hi,
+       CAST(count(*) FILTER (CAST(l_extendedprice AS DOUBLE) < lo)
+            AS BIGINT) AS n_lo,
+       CAST(count(*) FILTER (CAST(l_extendedprice AS DOUBLE) > hi)
+            AS BIGINT) AS n_hi,
+       CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE) >= lo
+                      AND CAST(l_extendedprice AS DOUBLE) <= hi
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+            AS DOUBLE)
+       + CAST(count(*) FILTER (CAST(l_extendedprice AS DOUBLE) < lo)
+              AS DOUBLE) * min(lo)
+       + CAST(count(*) FILTER (CAST(l_extendedprice AS DOUBLE) > hi)
+              AS DOUBLE) * min(hi) AS winsorized_sum
+FROM lineitem l JOIN lim ON l.l_returnflag = lim.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+ORACLES["corr_matrix"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 5) AS corr_qty_disc,
+       round(corr(l_extendedprice, l_tax), 5) AS corr_price_tax,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["moments_agg"] = """
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(sum(q) AS DOUBLE) AS s1,
+         CAST(sum(q * q) AS DOUBLE) AS s2,
+         CAST(sum(q * q * q) AS DOUBLE) AS s3,
+         CAST(sum(q * q * q * q) AS DOUBLE) AS s4,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+  GROUP BY l_returnflag
+), mm AS (
+  SELECT l_returnflag, n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM a
+)
+SELECT l_returnflag,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis,
+       CAST(n AS BIGINT) AS n
+FROM mm
+"""
+
+ORACLES["explode_outer_toks"] = """
+WITH t AS (
+  SELECT p_partkey,
+         list_filter(string_split(p_name, ' '),
+                     x -> length(x) > 6) AS l
+  FROM part
+)
+SELECT p_partkey,
+       unnest(CASE WHEN len(l) = 0 THEN [NULL]::VARCHAR[] ELSE l END)
+         AS token
+FROM t
+"""
+
+ORACLES["kl_divergence"] = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), src AS (
+  SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w
+), st AS (
+  SELECT source, w, c_sw,
+         CAST(sum(c_sw) OVER (PARTITION BY source) AS DOUBLE) AS t_s
+  FROM src
+), corp AS (
+  SELECT w, count(*) AS c_w FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t_c FROM tok
+)
+SELECT source,
+       round(sum((c_sw / t_s) * ln((c_sw / t_s) / (c_w / t_c))), 6) AS kl,
+       CAST(max(t_s) AS BIGINT) AS n_tokens
+FROM st JOIN corp USING (w) CROSS JOIN tot
+GROUP BY source
+"""
+
+ORACLES["anomaly_mad"] = """
+WITH med AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+), mad AS (
+  SELECT l.l_returnflag, min(med) AS med,
+         quantile_cont(abs(CAST(l_extendedprice AS DOUBLE) - med), 0.5)
+           AS mad
+  FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+  GROUP BY l.l_returnflag
+)
+SELECT l.l_returnflag,
+       min(m.med) AS med,
+       min(m.mad) AS mad,
+       CAST(count(*) FILTER (abs(CAST(l_extendedprice AS DOUBLE) - m.med)
+                             > 3.0 * 1.4826 * m.mad) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l JOIN mad m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+ORACLES["boilerplate_strip"] = """
+WITH seg_rows AS (
+  SELECT doc_id,
+         CAST(gs.i AS BIGINT) AS seg_pos,
+         array_to_string(toks[i * 2 + 1 : i * 2 + 2], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 2 + 1)) AS i) gs
+), df AS (
+  SELECT seg, count(DISTINCT doc_id) AS df FROM seg_rows GROUP BY seg
+), nd AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN df <= 0.02 * nd THEN seg END,
+                           ' ' ORDER BY seg_pos), '') AS clean_text,
+       CAST(count(*) FILTER (df <= 0.02 * nd) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (df > 0.02 * nd) AS BIGINT) AS n_dropped
+FROM seg_rows JOIN df USING (seg) CROSS JOIN nd
+GROUP BY doc_id
+"""
+
+ORACLES["rolling_median"] = """
+WITH b AS (
+  SELECT o_orderkey, o_custkey,
+         list_sort(list(CAST(o_totalprice AS DOUBLE))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN len(l) % 2 = 1 THEN l[(len(l) + 1) // 2]
+            ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2.0 END
+         AS rolling_med,
+       CAST(len(l) AS BIGINT) AS frame_n
+FROM b
+"""
+
+ORACLES["lm_score"] = """
+WITH bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i) gs
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+)
+SELECT doc_id,
+       round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+         AS avg_logprob,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""

@@ -360,3 +360,41 @@ def test_ngram_top_plans_as_take_ordered(spark):
     """Top-20 must not global-sort the bigram vocabulary."""
     p = plan(Q.ngram_top(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p, p
+
+
+ROUND7_KEYS = [
+    "group_split", "label_balance", "zscore_outliers", "winsorize",
+    "corr_matrix", "moments_agg", "explode_outer_toks", "kl_divergence",
+    "anomaly_mad", "boilerplate_strip", "rolling_median", "lm_score",
+]
+
+# 1-row broadcast scalars (min class count / corpus token total /
+# corpus doc count) — the sanctioned single-row crossJoin shape
+ROUND7_SCALAR_NLJ_OK = {"label_balance", "kl_divergence",
+                        "boilerplate_strip"}
+
+
+def test_round7_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND7_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND7_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_zscore_stats_broadcast_back_not_windowed(spark):
+    """The moment stats must come back onto the fact as a broadcast
+    hash join — an unbounded window over the fact would buffer whole
+    groups in single tasks."""
+    p = plan(Q.zscore_outliers(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowExec" not in p and "RunningWindowFunction" not in p, p
+
+
+def test_rolling_median_frame_is_bounded(spark):
+    """collect_list must run over a ROWS-bounded frame (bounded
+    per-row state), one keyed shuffle, no extra exchange."""
+    p = plan(Q.rolling_median(spark, SF_SMOKE))
+    assert "specifiedwindowframe(RowFrame, -4, currentrow" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p

@@ -39,14 +39,25 @@ def _green_keys() -> set[str]:
     return green
 
 
-def test_front_50_contains_every_ungreen_hash_checked_key():
+def test_ungreen_hash_checked_keys_form_contiguous_registry_prefix():
+    """All hash-checked keys lacking a green driver row must precede
+    every green key in the registry, so the 50-entry driver cap never
+    wastes a slot re-testing a green key while an ungreen one
+    starves.  (When more than 50 keys are ungreen — a round that adds
+    operators beyond the cap — the overflow queues contiguously right
+    after position 50 and rotates in next round.)"""
     green = _green_keys()
-    front = list(QUERIES)[:DRIVER_CAP]
-    ungreen = [k for k in ORACLES if k not in green]
-    starved = sorted(set(ungreen) - set(front))
-    assert not starved, (
-        f"hash-checked keys with no green driver row must lead the "
-        f"registry (driver cap {DRIVER_CAP}); starved: {starved}"
+    order = list(QUERIES)
+    ungreen = {k for k in ORACLES if k not in green}
+    if not ungreen:
+        return
+    last_ungreen = max(order.index(k) for k in ungreen)
+    misplaced = sorted(
+        k for k in order[:last_ungreen] if k in ORACLES and k in green
+    )
+    assert not misplaced, (
+        f"green hash-checked keys sit ahead of ungreen ones "
+        f"(driver cap {DRIVER_CAP} would starve them): {misplaced}"
     )
 
 
