@@ -105,6 +105,10 @@ SF1_KEYS = [
     # self-join — the shapes most likely to go super-linear if
     # mis-planned
     "q6_forecast", "q13_cust_orders", "q19_disc_revenue", "q21_waiting",
+    # round-7 shapes on the replicated facts: exact-moment broadcast
+    # join-back, percentile-limit winsorization, bounded-frame window
+    # HOF median — the new shapes whose scale behavior matters most
+    "moments_agg", "winsorize", "rolling_median",
 ]
 
 

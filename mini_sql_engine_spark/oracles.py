@@ -2089,3 +2089,184 @@ SELECT doc_id,
 FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id
 """
+
+# ─────────────── §2.18 round-8 additions ───────────────
+
+ORACLES["knn_label"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings
+  WHERE vec_id % 10 <> 0
+), terms AS (
+  SELECT q_id, c_id, label,
+         CAST(qv[i] AS DOUBLE) AS x, CAST(cv[i] AS DOUBLE) AS y
+  FROM (SELECT q_id, c_id, label, qv, cv,
+               unnest(generate_series(1, len(qv))) AS i
+        FROM c CROSS JOIN q)
+), sims AS (
+  SELECT q_id, c_id, label,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+           AS sim
+  FROM terms GROUP BY q_id, c_id, label
+), top AS (
+  SELECT q_id, label,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, c_id) AS rn
+  FROM sims
+), votes AS (
+  SELECT q_id, label, count(*) AS votes FROM top
+  WHERE rn <= 3 GROUP BY q_id, label
+)
+SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+FROM (SELECT q_id, label, votes,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY votes DESC, label) AS r
+      FROM votes)
+WHERE r = 1
+"""
+
+ORACLES["nearest_centroid"] = """
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id < 8
+), pts AS (
+  SELECT vec_id, embedding AS pv FROM embeddings WHERE vec_id >= 8
+), terms AS (
+  SELECT vec_id, cent_id,
+         CAST(pv[i] AS DOUBLE) AS x, CAST(cv[i] AS DOUBLE) AS y
+  FROM (SELECT vec_id, cent_id, pv, cv,
+               unnest(generate_series(1, len(pv))) AS i
+        FROM pts CROSS JOIN cent)
+), sims AS (
+  SELECT vec_id, cent_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+           AS sim
+  FROM terms GROUP BY vec_id, cent_id
+), best AS (
+  SELECT vec_id, cent_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS r
+  FROM sims
+)
+SELECT CAST(cent_id AS BIGINT) AS cent_id,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       round(avg(sim), 4) AS avg_sim
+FROM best WHERE r = 1 GROUP BY cent_id
+"""
+
+ORACLES["bm25_score"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(CAST(dl AS DOUBLE)) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM toks
+  WHERE w IN ('table', 'data', 'row') GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+)
+SELECT doc_id,
+       round(sum(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+         / (CAST(tf AS DOUBLE)
+            + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       ), 6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 50
+"""
+
+ORACLES["inverted_index"] = """
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       (list_sort(list(doc_id)))[1:5] AS postings_head
+FROM tf GROUP BY term
+"""
+
+ORACLES["inline_values"] = """
+SELECT user_id,
+       CAST(sum(w) AS DOUBLE) AS engagement,
+       CAST(count(*) AS BIGINT) AS n_weighted
+FROM events
+JOIN (VALUES ('view', CAST(1.0 AS DECIMAL(4,1))),
+             ('click', CAST(2.0 AS DECIMAL(4,1))),
+             ('signup', CAST(5.0 AS DECIMAL(4,1))),
+             ('purchase', CAST(10.0 AS DECIMAL(4,1)))
+     ) AS wt(t, w)
+  ON event_type = t
+GROUP BY user_id
+"""
+
+ORACLES["safe_cast"] = """
+WITH r AS (
+  SELECT lang,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id * 7 AS VARCHAR)
+              ELSE 'x' || CAST(doc_id AS VARCHAR) END AS raw
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(try_cast(raw AS BIGINT)) AS BIGINT) AS n_parsed,
+       CAST(sum(try_cast(raw AS BIGINT)) AS BIGINT) AS sum_parsed
+FROM r GROUP BY lang
+"""
+
+ORACLES["interval_arith"] = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                '%Y-%m-%d') AS plus_3m,
+       strftime(CAST(o_orderdate AS DATE) - INTERVAL 10 DAY,
+                '%Y-%m-%d') AS minus_10d,
+       strftime(last_day(CAST(o_orderdate AS DATE)),
+                '%Y-%m-%d') AS month_end,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      DATE '1998-12-31') AS BIGINT) AS days_to_98end
+FROM orders
+"""
+
+ORACLES["attribution"] = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS attributed_click,
+         last_value(CASE WHEN event_type = 'click' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cts
+  FROM events
+)
+SELECT event_id, user_id, attributed_click,
+       CAST(floor(epoch(ts)) - floor(epoch(cts)) AS BIGINT) AS gap_sec
+FROM w WHERE event_type = 'purchase'
+"""
+
+ORACLES["compact_runs"] = """
+WITH r AS (
+  SELECT event_id, user_id, round(value, 0) AS v,
+         lag(round(value, 0))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, v
+FROM r WHERE prev IS NULL OR v <> prev
+"""

@@ -3028,6 +3028,272 @@ def lm_score(spark, sf_dir):
     )
 
 
+# ─────────────── §2.18 round-8 additions ───────────────
+
+
+def knn_label(spark, sf_dir):
+    """k-NN label assignment (k=3) over embeddings — the supervised
+    twin of the similarity kernels, hash-checked end to end: query
+    set = vec_id % 10 == 0, candidates = the rest, exact cosine via
+    the shared index-order scoring kernel (`embed_cosine_adj`
+    witnesses its cross-engine bit-parity), neighbors ranked on the
+    ROUNDED score with vec_id tie-break (float ties at 4 decimals
+    are expected and must break identically), majority label with
+    min-label tie-break. Brute-force by construction — the
+    hash-checkable witness for `sim_ann`/`sim_ivf`, which are the
+    100 TB path (bucketed candidates, same scoring kernel)."""
+    from mini_sql_engine_spark.pipeline.similarity import _dot, _norm
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"),
+        "label")
+    sim = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "q_id", "c_id", "label", sim.alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    top = pairs.select("q_id", "label", "sim",
+                       F.row_number().over(w).alias("_rn")) \
+        .filter(F.col("_rn") <= 3)
+    votes = top.groupBy("q_id", "label").agg(
+        F.count(F.lit(1)).alias("_votes"))
+    wv = Window.partitionBy("q_id").orderBy(F.desc("_votes"), "label")
+    return (
+        votes.select("q_id", "label", "_votes",
+                     F.row_number().over(wv).alias("_r"))
+        .filter(F.col("_r") == 1)
+        .select("q_id", F.col("label").alias("pred_label"),
+                F.col("_votes").cast("long").alias("votes"))
+    )
+
+
+def nearest_centroid(spark, sf_dir):
+    """Nearest-centroid assignment — the IVF cell-assignment kernel
+    (`sim_ivf`'s inner step) hash-checked against DuckDB on fixed
+    centroids (vec_id < 8, broadcast). Argmax on the ROUNDED cosine
+    with min-centroid tie-break; output is the per-cell occupancy —
+    exactly what an IVF build monitors for balance. Fan-out is
+    |centroids|·N via broadcast — linear in N, never pairwise."""
+    from mini_sql_engine_spark.pipeline.similarity import _dot, _norm
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    pts = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", F.col("embedding").alias("pv"))
+    sim = F.round(
+        _dot(F.col("pv"), F.col("cv"))
+        / (_norm(F.col("pv")) * _norm(F.col("cv"))), 4)
+    scored = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", sim.alias("sim"))
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cent_id")).alias("_nc")))
+        .alias("_b"))
+    assign = best.select(
+        "vec_id", (-F.col("_b._nc")).cast("long").alias("cent_id"),
+        F.col("_b.sim").alias("sim"))
+    return assign.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )
+
+
+def bm25_score(spark, sf_dir):
+    """BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query — the
+    IR scoring step after `inverted_index` retrieval; `tfidf`'s
+    length-normalized successor. Corpus stats (df per term, avg doc
+    length) are scalars/tiny → broadcast; per-doc score is a 3-term
+    sum, rounded (libm ln + join-order accumulation). Returns ranked
+    top-50 with doc_id tie-break."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_and_avgdl = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    terms = ["table", "data", "row"]
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    denom = tfd + k1 * (F.lit(1.0) - b
+                        + b * F.col("dl").cast("double") / F.col("avgdl"))
+    score = idf * tfd * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_and_avgdl))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"),
+             F.count(F.lit(1)).alias("n_terms_hit"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+
+
+def inverted_index(spark, sf_dir):
+    """Inverted-index build: term → document frequency, collection
+    frequency, and the head of the sorted posting list (first 5
+    doc_ids — heads are what a serving shard materializes hot). One
+    (term, doc) aggregate then one term aggregate, both map-side
+    combinable; posting order via array_sort, engine-independent."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5)
+        .alias("postings_head"),
+    )
+
+
+def inline_values(spark, sf_dir):
+    """Inline VALUES dimension seeding — the config-table-in-query
+    pattern (event weights here). The literal table is driver-side
+    tiny → broadcast joined; weighted score is an exact DECIMAL sum.
+    Identical front-door SQL text runs on both engines."""
+    return _front_door_sql(spark, sf_dir, "inline_values")
+
+
+def safe_cast(spark, sf_dir):
+    """Error-safe casting surface (try_cast): parse a deliberately
+    dirty synthesized string column — numeric for doc_id % 3 == 0,
+    garbage otherwise — count parse failures and aggregate the
+    successes. try_cast is the schema-on-read survival tool at
+    ingest; a plain CAST would abort the whole 100 TB scan on row
+    one. Pure map-side expressions + one aggregate."""
+    d = Catalog(spark, sf_dir).table("documents")
+    raw = F.when(F.col("doc_id") % 3 == 0,
+                 (F.col("doc_id") * 7).cast("string")) \
+        .otherwise(F.concat(F.lit("x"), F.col("doc_id").cast("string")))
+    parsed = raw.try_cast("bigint")
+    return d.select("lang", raw.alias("_raw"), parsed.alias("_p")) \
+        .groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_p").alias("n_parsed"),
+            F.sum("_p").alias("sum_parsed"),
+        )
+
+
+def interval_arith(spark, sf_dir):
+    """Date interval arithmetic surface: add_months, day offsets,
+    month-end snapping, quarter extraction, day differences — the
+    portable subset (Spark months_between's 31-day fractions have no
+    DuckDB twin and are deliberately excluded). Pure codegen."""
+    o = Catalog(spark, sf_dir).table("orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.date_sub(d, 10), "yyyy-MM-dd").alias("minus_10d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d)
+        .cast("long").alias("days_to_98end"),
+    )
+
+
+def attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING click (classic marketing attribution; also the
+    provenance shape for "which crawl fetched this doc"). One keyed
+    window with last(ignorenulls) over rows-preceding — single
+    shuffle, no self-join, no as-of join needed because the credit
+    source and target live in one ordered stream."""
+    e = Catalog(spark, sf_dir).table("events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True).over(w)
+    last_click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True).over(w)
+    return (
+        e.select("event_id", "user_id", "ts", "event_type",
+                 last_click.alias("attributed_click"),
+                 last_click_ts.alias("_cts"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "attributed_click",
+            (F.unix_timestamp("ts") - F.unix_timestamp("_cts"))
+            .cast("long").alias("gap_sec"),
+        )
+    )
+
+
+def compact_runs(spark, sf_dir):
+    """Run-length compaction: keep only rows where the (rounded)
+    value CHANGES from the previous row per user — the telemetry
+    dedup that cuts append-only sensor streams by orders of
+    magnitude before they hit storage. lag over one keyed shuffle,
+    NULL-safe first-row handling spelled identically in both
+    engines."""
+    e = Catalog(spark, sf_dir).table("events")
+    v = F.round(F.col("value"), 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(v).over(w)
+    return (
+        e.select("event_id", "user_id", "ts", v.alias("v"),
+                 prev.alias("_prev"))
+        .filter(F.col("_prev").isNull() | (F.col("v") != F.col("_prev")))
+        .select("event_id", "user_id", "v")
+    )
+
+
+def pagerank_iter(spark, sf_dir):
+    """Fixed-iteration PageRank (5 rounds, damping 0.85) on a
+    synthesized doc-link graph (each doc links to (id·7+1) mod N and
+    (id·13+2) mod N — deterministic, so reruns agree). The iterative
+    join-agg showcase beside `dedup_cc`: contributions = rank /
+    out-degree shuffled by target, merged with the teleport term;
+    `localCheckpoint` per round keeps lineage O(1). Rows-only
+    contract (float accumulation order across engines); the numpy
+    twin in tests/test_round8_ops.py pins the values."""
+    d = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    n_docs = d.count()  # scalar cardinality for the teleport term
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(
+            (F.col("doc_id") * 7 + 1) % n_docs,
+            (F.col("doc_id") * 13 + 2) % n_docs,
+        )).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = d.select("doc_id", F.lit(1.0 / n_docs).alias("rank"))
+    for _ in range(5):
+        contrib = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.doc_id)
+            .select(F.col("dst").alias("doc_id"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("doc_id").agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            d.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(0.15 / n_docs)
+                 + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                 ).alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("doc_id", F.round("rank", 8).alias("rank"))
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -3116,6 +3382,17 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_strip": boilerplate_strip,
     "rolling_median": rolling_median,
     "lm_score": lm_score,
+    # — (a'''') hash-checked round-8 additions (§2.18): queue after
+    #   the round-7 block, same contiguous-ungreen-prefix rule —
+    "knn_label": knn_label,
+    "nearest_centroid": nearest_centroid,
+    "bm25_score": bm25_score,
+    "inverted_index": inverted_index,
+    "inline_values": inline_values,
+    "safe_cast": safe_cast,
+    "interval_arith": interval_arith,
+    "attribution": attribution,
+    "compact_runs": compact_runs,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,
@@ -3231,4 +3508,5 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_pipeline": corpus_pipeline,
     "corpus_sample": corpus_sample,
     "multimodal_features": multimodal_features,
+    "pagerank_iter": pagerank_iter,
 }

@@ -398,3 +398,34 @@ def test_rolling_median_frame_is_bounded(spark):
     p = plan(Q.rolling_median(spark, SF_SMOKE))
     assert "specifiedwindowframe(RowFrame, -4, currentrow" in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+ROUND8_KEYS = [
+    "knn_label", "nearest_centroid", "bm25_score", "inverted_index",
+    "inline_values", "safe_cast", "interval_arith", "attribution",
+    "compact_runs",
+]
+
+# brute-force kNN / centroid-assignment fan-outs are broadcast
+# crossJoins by design (the hash-checked witnesses of the ANN path);
+# bm25 carries the 1-row corpus-stats scalar
+ROUND8_SCALAR_NLJ_OK = {"knn_label", "nearest_centroid", "bm25_score"}
+
+
+def test_round8_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND8_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND8_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_knn_fanout_broadcasts_the_query_side(spark):
+    """The small (query/centroid) side must be the broadcast build
+    side so the candidate scan streams — the shape that scales to a
+    full corpus."""
+    for qkey in ("knn_label", "nearest_centroid"):
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" in p, f"{qkey}: {p}"
+        assert "BroadcastExchange" in p, f"{qkey}: {p}"
