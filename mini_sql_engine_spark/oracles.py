@@ -2270,3 +2270,216 @@ WITH r AS (
 SELECT event_id, user_id, v
 FROM r WHERE prev IS NULL OR v <> prev
 """
+
+# ── round-9 batch: sketches, set-similarity joins, time-weighted ─
+# ── and co-occurrence statistics, occupancy sweep, null surface ──
+
+# Bitmap distinct is EXACT, so the oracle is plain COUNT(DISTINCT).
+ORACLES["bitmap_distinct"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+# Certificate contract: exact weekly count + TRUE (the Spark side
+# carries the HLL-union estimate and asserts it lands within 5%).
+ORACLES["sketch_rollup"] = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS ok
+FROM events GROUP BY 1
+"""
+
+# Prefix filtering is exact (zero false negatives by the SSJoin
+# prefix theorem), so the oracle IS the naive all-pairs join.
+ORACLES["setsim_join"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 2),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' ||
+                                    tk[i+2] || ' ' || tk[i+3]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 4
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.5
+"""
+
+ORACLES["containment_dup"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 2),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' ||
+                                    tk[i+2] || ' ' || tk[i+3]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 4
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dirs AS (
+  SELECT doc_a AS doc_id, doc_b AS container_id,
+         round(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment
+  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS container_id,
+         round(CAST(n_common AS DOUBLE) / sb.n, 6) AS containment
+  FROM pairs JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM dirs WHERE containment >= 0.6
+"""
+
+ORACLES["event_transitions"] = """
+WITH p AS (
+  SELECT lag(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, count(*) AS n FROM p WHERE src IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+FROM c
+"""
+
+ORACLES["twap_agg"] = """
+WITH g AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)))
+              - floor(epoch(ts)) AS BIGINT) AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(dt) AS BIGINT) AS active_sec,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                     * CAST(dt AS DECIMAL(18,0)) AS DECIMAL(38,6)))
+            AS DOUBLE)
+         / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) AS twap
+FROM g WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+ORACLES["max_concurrency"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s
+  FROM marked
+), sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sid GROUP BY user_id, s
+), clipped AS (
+  SELECT user_id, unnest(generate_series(CAST(s_start AS DATE),
+                                         CAST(s_end AS DATE),
+                                         INTERVAL 1 DAY)) AS day,
+         s_start, s_end
+  FROM sess
+), spans AS (
+  SELECT user_id, CAST(day AS DATE) AS day,
+         greatest(CAST(floor(epoch(s_start)) AS BIGINT),
+                  CAST(floor(epoch(CAST(day AS TIMESTAMP))) AS BIGINT))
+           AS cs,
+         least(CAST(floor(epoch(s_end)) AS BIGINT),
+               CAST(floor(epoch(CAST(day AS TIMESTAMP)
+                                + INTERVAL 1 DAY)) AS BIGINT) - 1)
+           AS ce
+  FROM clipped
+), deltas AS (
+  SELECT day, cs AS t, 1 AS d, user_id FROM spans
+  UNION ALL
+  SELECT day, ce + 1 AS t, -1 AS d, user_id FROM spans
+), running AS (
+  SELECT day,
+         sum(d) OVER (PARTITION BY day ORDER BY t, d DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cur
+  FROM deltas
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(max(cur) AS BIGINT) AS max_concurrent
+FROM running GROUP BY day
+"""
+
+ORACLES["dict_encode"] = """
+WITH dom AS (
+  SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand
+), codes AS (
+  SELECT p_brand,
+         CAST(row_number() OVER (ORDER BY n DESC, p_brand) - 1 AS BIGINT)
+           AS brand_code
+  FROM dom
+)
+SELECT p_partkey, p.p_brand, brand_code
+FROM part p JOIN codes USING (p_brand)
+"""
+
+ORACLES["null_funcs"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_closed,
+       CAST(count(big) AS BIGINT) AS n_big,
+       CAST(sum(CAST(big AS DECIMAL(18,2))) AS DOUBLE)
+         / count(big) AS avg_big,
+       min(big) AS min_big,
+       CAST(sum(coalesce(CAST(big AS DECIMAL(18,2)),
+                         CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(18,2))
+         AS total_big
+FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big
+  FROM orders
+)
+GROUP BY o_orderpriority
+"""
+
+ORACLES["pmi_pairs"] = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT count(DISTINCT user_id) AS n FROM ut
+), marg AS (
+  SELECT event_type, count(*) AS c FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+       round(ln(CAST(n_both AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))), 6)
+         AS pmi
+FROM pairs, nu
+JOIN marg ma ON ma.event_type = t1
+JOIN marg mb ON mb.event_type = t2
+"""

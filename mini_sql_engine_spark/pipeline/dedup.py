@@ -506,3 +506,118 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
             "dup_frac",
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame, n: int = 4, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin family, Chaudhuri ICDE'06 / Bayardo WWW'07): order
+    every document's shingle set by a GLOBAL rarest-first total order
+    (document frequency, then shingle) and index only the first
+    ``|s| − ⌈t·|s|⌉ + 1`` shingles.  Theorem: two sets with
+    Jaccard ≥ t MUST share at least one prefix token under a common
+    total order — so joining on prefix tokens alone produces a
+    candidate superset with ZERO false negatives, and the exact
+    verify step (per-row ``array_intersect`` on the two shingle
+    arrays, no further shuffle fan-in) restores precision.
+
+    Why this is the at-scale exact path where the full inverted index
+    is not: the join only fans out on each document's RAREST tokens —
+    hot stop-shingles sit at the end of the ordering and never enter
+    the index, without the semantic compromise of a hard ``max_df``
+    cap (output provably equals the all-pairs ground truth; pinned in
+    tests against ``ngram_jaccard_pairs``).
+
+    Shuffles: one df aggregate, one rank window keyed by doc, one
+    prefix-token join, two hash joins back to the (doc → array) map.
+    """
+    from pyspark.sql.window import Window
+
+    sh = materialized(_doc_shingles(docs, n))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id", "shingle",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_df", "shingle")
+            ).alias("_pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("_n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    arrs = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(shingles(tokens("text"), n)))
+        .alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    j = (
+        cands
+        .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                          F.col("_sh").alias("_sa")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_sh").alias("_sb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter.cast("double") / (
+        F.size("_sa") + F.size("_sb") - inter
+    )
+    return (
+        j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 4, threshold: float = 0.6
+) -> DataFrame:
+    """Asymmetric near-superset detection: containment
+    ``|A∩B| / |A|`` flags a short document whose shingles are mostly
+    swallowed by a longer one — the quote/excerpt/boilerplate-wrap
+    duplicates that symmetric Jaccard misses (a 50-token doc embedded
+    verbatim in a 5000-token doc has J ≈ 0.01 but containment 1.0).
+
+    One inverted-index pair count (shared with the Jaccard machinery,
+    df-capped the same way at scale) yields BOTH directions of every
+    unordered pair via a per-row ``inline`` expansion — no second
+    join.  Output: (doc_id, container_id, containment ≥ t).
+    """
+    ds = materialized(_doc_shingles(docs, n))
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb"))
+    both = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(F.inline(F.array(
+            F.struct(F.col("doc_a").alias("doc_id"),
+                     F.col("doc_b").alias("container_id"),
+                     F.round(F.col("n_common").cast("double")
+                             / F.col("_na"), 6).alias("containment")),
+            F.struct(F.col("doc_b").alias("doc_id"),
+                     F.col("doc_a").alias("container_id"),
+                     F.round(F.col("n_common").cast("double")
+                             / F.col("_nb"), 6).alias("containment")),
+        )))
+    )
+    return both.filter(F.col("containment") >= threshold)

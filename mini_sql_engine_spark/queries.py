@@ -3294,6 +3294,285 @@ def pagerank_iter(spark, sf_dir):
     return ranks.select("doc_id", F.round("rank", 8).alias("rank"))
 
 
+# ─────────── §2.19 round-9 surface extensions ───────────
+
+
+def bitmap_distinct(spark, sf_dir):
+    """EXACT distinct users per event type via mergeable bitmap
+    sketches (`bitmap_construct_agg`, Spark 3.5+): stage 1 groups by
+    (type, bitmap bucket) and ORs ids into one 4096-bit bitmap per
+    bucket — constant state, map-side combinable, so raw ids never
+    cross the wire (only (type, bucket, bitmap) triples) and there is
+    no countDistinct expand; stage 2 sums popcounts.  The exact
+    100 TB COUNT DISTINCT for dense-integer keys, sitting between
+    plain countDistinct (exact, heavy shuffle) and HLL
+    (`hll_distinct`, approximate): the oracle is plain
+    COUNT(DISTINCT) because the result is exactly equal."""
+    ev = Catalog(spark, sf_dir).table("events")
+    per_bucket = (
+        ev.groupBy("event_type",
+                   F.bitmap_bucket_number("user_id").alias("_bucket"))
+        .agg(F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+        ).alias("_cnt"))
+    )
+    return (per_bucket.groupBy("event_type")
+            .agg(F.sum("_cnt").cast("long").alias("n_users")))
+
+
+def sketch_rollup(spark, sf_dir):
+    """Sketch ROLL-UP: per-day HLL sketches of active users merged
+    into per-week distinct counts with `hll_union_agg` — the
+    warehouse pattern where daily sketches are computed once and any
+    coarser grain (week / month / quarter) is a cheap sketch merge,
+    never a rescan of raw events.  Certificate contract (the
+    `hll_distinct` / `percentiles_approx` pattern): the merged
+    estimate must land within 5% of the exact weekly count — ~3
+    standard errors at the default lgConfigK=12 (rsd ≈ 1.6%) — and
+    the oracle emits the exact counts + TRUE.  The exact side is
+    computed over pre-distinct (week, user) pairs: no expand."""
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("_week"),
+        F.date_trunc("day", "ts").alias("_day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    weekly = daily.groupBy("_week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_approx"))
+    exact = (
+        ev.select(F.date_trunc("week", "ts").alias("_week"), "user_id")
+        .distinct()
+        .groupBy("_week").agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    rel = (F.abs(F.col("_approx") - F.col("exact_users")).cast("double")
+           / F.col("exact_users"))
+    return (
+        weekly.join(exact, "_week")
+        .select(F.date_format("_week", "yyyy-MM-dd").alias("week"),
+                "exact_users", (rel <= 0.05).alias("ok"))
+    )
+
+
+def setsim_join(spark, sf_dir):
+    """Prefix-filtered exact set-similarity self-join (4-gram Jaccard
+    ≥ 0.5) — the PPJoin-family plan that indexes only each document's
+    rarest shingles yet provably returns the all-pairs ground truth
+    (DuckDB twin IS the naive all-pairs join; equality to the
+    uncapped inverted index is additionally pinned in pytest)."""
+    return DD.prefix_filter_jaccard_pairs(
+        Catalog(spark, sf_dir).table("documents"), n=4, threshold=0.5)
+
+
+def containment_dup(spark, sf_dir):
+    """Asymmetric containment duplicates |A∩B|/|A| ≥ 0.6 — catches
+    short docs swallowed near-verbatim by longer ones where symmetric
+    Jaccard stays low.  Both directions of each unordered pair come
+    from ONE inverted-index count via a per-row inline expansion."""
+    return DD.containment_pairs(
+        Catalog(spark, sf_dir).table("documents"), n=4, threshold=0.6)
+
+
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: lag after ONE keyed shuffle gives (src → dst) pairs,
+    global pair counts feed per-source probabilities (exact BIGINT
+    counts; the division is one IEEE op on identical operands, so no
+    rounding is needed).  The probability window runs over the
+    |types|² aggregate, never the fact table."""
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id",
+                  F.lag("event_type").over(w).alias("src"),
+                  F.col("event_type").alias("dst"))
+        .filter(F.col("src").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    w2 = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double")
+         / F.sum("n").over(w2).cast("double")).alias("p"),
+    )
+
+
+def twap_agg(spark, sf_dir):
+    """Time-weighted average (TWAP) of each user's telemetry value:
+    every reading holds until the user's next event (step
+    interpolation), so its weight is the gap-to-next in whole
+    seconds; the final reading carries no weight.  Σ(value·dt) runs
+    as exact DECIMAL (order-independent across partitionings); the
+    one division to double happens on identical operands in both
+    engines.  ONE keyed shuffle (window + agg share it)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    dt = F.lead(epoch).over(w) - epoch
+    rows = ev.select(
+        "user_id", dt.alias("_dt"),
+        (F.col("value").cast("decimal(18,6)")
+         * dt.cast("decimal(18,0)")).cast("decimal(38,6)").alias("_vdt"),
+    ).filter(F.col("_dt").isNotNull())
+    g = rows.groupBy("user_id").agg(
+        F.sum("_vdt").alias("_num"),
+        F.sum("_dt").cast("long").alias("active_sec"),
+    )
+    return g.select(
+        "user_id", "active_sec",
+        (F.col("_num").cast("double")
+         / F.col("active_sec").cast("double")).alias("twap"),
+    )
+
+
+def max_concurrency(spark, sf_dir):
+    """Peak concurrent user-sessions per day (occupancy analytics —
+    licenses, connection pools, live-viewer curves) via the classic
+    sweep line: sessionize (gaps-and-islands, 30-min timeout), clip
+    each session to the days it spans (sequence+explode — sessions
+    are already per-user aggregates, orders of magnitude smaller than
+    events), emit ±1 endpoint deltas, running-sum them per DAY (keyed
+    window — never a global single-task sort) and take the max.
+    Endpoint tie order (ts, delta DESC, user) counts a session
+    starting the same second another ends as concurrent, identically
+    in both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+    sess = (
+        ev.select("user_id", "ts", "event_id",
+                  F.when(gap.isNull() | (gap > 1800), 1)
+                  .otherwise(0).alias("_new"))
+        .select("user_id", "ts",
+                F.sum("_new").over(
+                    Window.partitionBy("user_id").orderBy("ts", "event_id")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ).alias("_sid"))
+        .groupBy("user_id", "_sid")
+        .agg(F.min("ts").alias("_start"), F.max("ts").alias("_end"))
+    )
+    clipped = (
+        sess.select(
+            "user_id", "_start", "_end",
+            F.explode(F.sequence(F.to_date("_start"),
+                                 F.to_date("_end"))).alias("day"))
+        .select(
+            "user_id", "day",
+            F.greatest(F.unix_timestamp("_start"),
+                       F.unix_timestamp(F.col("day").cast("timestamp")))
+            .alias("_cs"),
+            F.least(F.unix_timestamp("_end"),
+                    F.unix_timestamp(F.date_add("day", 1)
+                                     .cast("timestamp")) - 1)
+            .alias("_ce"),
+        )
+    )
+    deltas = clipped.select(
+        "day", F.col("_cs").alias("_t"), F.lit(1).alias("_d"), "user_id"
+    ).unionAll(clipped.select(
+        "day", (F.col("_ce") + 1).alias("_t"), F.lit(-1).alias("_d"),
+        "user_id"))
+    wd = (Window.partitionBy("day")
+          .orderBy("_t", F.desc("_d"), "user_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    running = deltas.select(
+        "day", F.sum("_d").over(wd).alias("_cur"))
+    return (
+        running.groupBy("day")
+        .agg(F.max("_cur").cast("long").alias("max_concurrent"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "max_concurrent")
+    )
+
+
+def dict_encode(spark, sf_dir):
+    """Frequency-ordered dictionary encoding of a low-cardinality
+    string column (feature-engineering / storage-codec kernel):
+    codes 0..|domain|−1 assigned by (count DESC, value) — the window
+    runs over the |domain|-row aggregate, never the fact table — then
+    broadcast-joined back onto every row."""
+    p = Catalog(spark, sf_dir).table("part")
+    dom = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("_n"))
+    codes = dom.select(
+        "p_brand",
+        (F.row_number().over(Window.orderBy(F.desc("_n"), "p_brand")) - 1)
+        .cast("long").alias("brand_code"),
+    )
+    return (p.join(F.broadcast(codes), "p_brand")
+            .select("p_partkey", "p_brand", "brand_code"))
+
+
+def null_funcs(spark, sf_dir):
+    """NULL-semantics surface in one aggregate: planted NULLs via
+    nullif, count(col) vs count(*), NULL-skipping avg/min, and a
+    coalesce-to-zero DECIMAL sum — the exact three-valued-logic
+    behaviors both engines must agree on row-for-row."""
+    o = Catalog(spark, sf_dir).table("orders")
+    big = F.when(F.col("o_totalprice") > 200000,
+                 F.col("o_totalprice"))  # NULL otherwise
+    return (
+        o.select(
+            "o_orderpriority",
+            F.nullif("o_orderstatus", F.lit("O")).alias("_st"),
+            big.alias("_big"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_st").alias("n_closed"),
+            F.count("_big").alias("n_big"),
+            (F.sum(F.col("_big").cast("decimal(18,2)")).cast("double")
+             / F.count("_big")).alias("avg_big"),
+            F.min("_big").alias("min_big"),
+            F.sum(F.coalesce(F.col("_big").cast("decimal(18,2)"),
+                             F.lit(0).cast("decimal(18,2)")))
+            .cast("decimal(18,2)").alias("total_big"),
+        )
+    )
+
+
+def pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information between event types co-occurring
+    in the same user's history — the word2vec-era co-occurrence
+    kernel behind feature crosses and association mining.  Per-user
+    DISTINCT types first (|domain| ≤ 5), so the within-user pair
+    expansion is bounded by |domain|²; PMI = ln(N·n_ab/(n_a·n_b))
+    from exact counts, rounded (libm ln discipline)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct() \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    marg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("_c"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"),
+              (F.col("a.user_id") == F.col("b.user_id"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("t1"),
+                 F.col("b.event_type").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("t1"), F.col("_c").alias("_c1"))
+    mb = marg.select(F.col("event_type").alias("t2"), F.col("_c").alias("_c2"))
+    pmi = F.log(
+        F.col("n_both").cast("double") * F.col("_n").cast("double")
+        / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(ma), "t1").join(F.broadcast(mb), "t2")
+        .crossJoin(F.broadcast(n_users))  # 1-row scalar fan-out
+        .select("t1", "t2", F.col("n_both").cast("long").alias("n_both"),
+                F.round(pmi, 6).alias("pmi"))
+    )
+
+
+def pca_project(spark, sf_dir):
+    """PCA to 4 components over the embedding corpus — mergeable
+    Gram-matrix partials (one numpy GEMM per Arrow batch), driver
+    eigh on the 64×64 covariance, JVM-side projection.  Rows-only
+    (float accumulation order); numpy twin pins values to 1e-6 in
+    tests/test_round9_ops.py."""
+    return SIM.pca_project(Catalog(spark, sf_dir).table("embeddings"), k=4)
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -3393,6 +3672,18 @@ QUERIES: dict[str, QueryFn] = {
     "interval_arith": interval_arith,
     "attribution": attribution,
     "compact_runs": compact_runs,
+    # — (a''''') hash-checked round-9 additions (§2.19): queue after
+    #   the round-8 block, same contiguous-ungreen-prefix rule —
+    "bitmap_distinct": bitmap_distinct,
+    "sketch_rollup": sketch_rollup,
+    "setsim_join": setsim_join,
+    "containment_dup": containment_dup,
+    "event_transitions": event_transitions,
+    "twap_agg": twap_agg,
+    "max_concurrency": max_concurrency,
+    "dict_encode": dict_encode,
+    "null_funcs": null_funcs,
+    "pmi_pairs": pmi_pairs,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,
@@ -3509,4 +3800,5 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_sample": corpus_sample,
     "multimodal_features": multimodal_features,
     "pagerank_iter": pagerank_iter,
+    "pca_project": pca_project,
 }

@@ -429,3 +429,56 @@ def test_knn_fanout_broadcasts_the_query_side(spark):
         p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" in p, f"{qkey}: {p}"
         assert "BroadcastExchange" in p, f"{qkey}: {p}"
+
+
+ROUND9_KEYS = [
+    "bitmap_distinct", "sketch_rollup", "setsim_join",
+    "containment_dup", "event_transitions", "twap_agg",
+    "max_concurrency", "dict_encode", "null_funcs", "pmi_pairs",
+]
+
+# pmi_pairs carries the 1-row distinct-user-count scalar crossJoin
+ROUND9_SCALAR_NLJ_OK = {"pmi_pairs"}
+
+
+def test_round9_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND9_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND9_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_bitmap_distinct_has_no_expand(spark):
+    """The whole point of the bitmap path: no countDistinct Expand
+    node, two hash aggregates only."""
+    p = plan(Q.bitmap_distinct(spark, SF_SMOKE))
+    assert "Expand" not in p, p
+    assert "bitmap_construct_agg" in p or "bitmap" in p.lower(), p
+
+
+def test_dict_encode_joins_codes_back_broadcast(spark):
+    """The |domain|-row code table must broadcast; the fact table
+    must not shuffle for the join."""
+    p = plan(Q.dict_encode(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_max_concurrency_windows_are_keyed(spark):
+    """Every window in the sweep must be partitioned (by user or by
+    day) — a global single-task running sum would be the classic
+    scale bug this formulation avoids."""
+    p = plan(Q.max_concurrency(spark, SF_SMOKE))
+    assert "partitionBy" not in p  # physical plans spell partition specs
+    low = p.lower()
+    assert "window" in low, p
+    # no empty partition spec: Spark renders a global window as
+    # 'Window [...], [ts ASC ...]' with no partition list — detect by
+    # the 'windowspecdefinition()' arity: every spec must reference a
+    # partition column before the sort spec
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", low):
+        args = m.group(1)
+        assert args.count(",") >= 2, f"unpartitioned window: {args}"
