@@ -2483,3 +2483,142 @@ FROM pairs, nu
 JOIN marg ma ON ma.event_type = t1
 JOIN marg mb ON mb.event_type = t2
 """
+
+# ── round-10 batch: graph triangles, nearest join, map surface, ──
+# ── multi-agg pivot, interval union ─────────────────────────────
+
+# Same synthesized deterministic edge set as pagerank_iter.
+ORACLES["triangle_count"] = """
+WITH n AS (
+  SELECT count(*) AS n_docs FROM documents
+), directed AS (
+  SELECT doc_id AS src, (doc_id + 1) % n.n_docs AS dst
+  FROM documents, n
+  UNION ALL
+  SELECT doc_id AS src, (doc_id + 2) % n.n_docs AS dst
+  FROM documents, n
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n.n_docs AS dst
+  FROM documents, n
+), edges AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM directed WHERE src <> dst
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.u = e1.u AND e3.v = e2.v)
+), corners AS (
+  SELECT a AS doc_id FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY doc_id
+"""
+
+ORACLES["nearest_join"] = """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pid,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                    IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+         first_value(CASE WHEN event_type = 'click' THEN event_id END
+                     IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nid,
+         first_value(CASE WHEN event_type = 'click'
+                          THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                     IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN pts IS NULL AND nts IS NULL THEN NULL
+            WHEN pts IS NULL THEN nid
+            WHEN nts IS NULL OR t - pts <= nts - t THEN pid
+            ELSE nid END AS nearest_click,
+       CAST(CASE WHEN pts IS NULL AND nts IS NULL THEN NULL
+                 WHEN pts IS NULL THEN nts - t
+                 WHEN nts IS NULL OR t - pts <= nts - t THEN t - pts
+                 ELSE nts - t END AS BIGINT) AS gap_sec
+FROM w WHERE event_type = 'purchase'
+"""
+
+# The map stays Spark-internal; the oracle reproduces the scalar
+# lookups with conditional aggregates and a sorted key list.
+ORACLES["map_funcs"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0)
+            AS BIGINT) AS n_clicks,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN n END), 0)
+            AS BIGINT) AS n_errors,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+FROM c GROUP BY user_id
+"""
+
+ORACLES["pivot_multi"] = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+         AS o_cnt,
+       CAST(sum(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DECIMAL(18,2)) AS o_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS f_cnt,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DECIMAL(18,2)) AS f_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+         AS p_cnt,
+       CAST(sum(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DECIMAL(18,2)) AS p_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["interval_union"] = """
+WITH spans AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN max(e) OVER
+                (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+              OR s > max(e) OVER
+                (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), islands AS (
+  SELECT user_id, s, e,
+         sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+  FROM flagged
+), merged AS (
+  SELECT user_id, isl, min(s) AS ms, max(e) AS me
+  FROM islands GROUP BY user_id, isl
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(me - ms) AS BIGINT) AS covered_sec
+FROM merged GROUP BY user_id
+"""

@@ -590,3 +590,69 @@ def pca_project(embeddings: DataFrame, k: int = 4,
         for i in range(k)
     ]
     return embeddings.select("vec_id", *out)
+
+
+def kmeans_assignments(embeddings: DataFrame, k: int = 8,
+                       iters: int = 5, train_cap: int = 4096,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Standalone spherical k-means clustering of the embedding
+    corpus — the IVF coarse quantizer (`ivf_topk` step 1) promoted to
+    a first-class operator: topic/domain bucketing, stratification
+    keys, and curriculum bins for training data all start here.
+
+    Scale split, same as IVF training (FAISS does it the same way):
+
+    1. **Train on a bounded deterministic sample** — the ≤``train_cap``
+       vectors with the smallest ``xxhash64(id)`` (layout-independent
+       subsample), Lloyd iterations on the driver: O(iters·cap·k·d)
+       floats, never scales with the corpus.
+    2. **Assign the full corpus map-side** — the k×d centroid matrix
+       is broadcast as literal arrays; each row's argmax cosine is a
+       JVM struct-max over ``zip_with`` dots (ties → lowest cluster
+       id on the ROUNDED similarity).  Zero Python, zero shuffle in
+       the assignment pass; the only shuffle is the final occupancy
+       aggregate consumers usually want.
+
+    Rows-only contract (float accumulation order); the numpy twin in
+    tests replays the identical train+assign and pins every label.
+    """
+    import numpy as np
+
+    sample_rows = (
+        embeddings.select(F.col("vec_id").alias("cid"),
+                          F.col(vec_col).alias("cvec"))
+        .withColumn("h", F.xxhash64(F.col("cid")))
+        .orderBy("h", "cid")
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array([r.cvec for r in sample_rows], dtype=np.float64)
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    cent = _kmeans_refine(train, train[:k].copy(), iters)
+
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double") / _norm(F.col(vec_col)),
+    )
+    scored = F.array(*[
+        F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        unit,
+                        F.array(*[F.lit(float(c)) for c in cent[j]]),
+                        lambda x, c: x * c,
+                    ),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ), 6,
+            ).alias("sim"),
+            F.lit(-j).alias("_nc"),
+        )
+        for j in range(k)
+    ])
+    best = F.array_max(scored)
+    return embeddings.select(
+        "vec_id",
+        (-best["_nc"]).cast("long").alias("cluster"),
+        best["sim"].alias("sim"),
+    )

@@ -3573,6 +3573,184 @@ def pca_project(spark, sf_dir):
     return SIM.pca_project(Catalog(spark, sf_dir).table("embeddings"), k=4)
 
 
+# ─────────── §2.20 round-10 surface extensions ───────────
+
+
+def triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts on a synthesized deterministic
+    doc-link graph (ring edges x→x+1, x→x+2 guarantee ≥N triangles —
+    non-vacuous output — plus the 7x+1 family for irregular closures)
+    — the graph clustering-coefficient kernel.  Canonical-orientation plan: edges
+    deduped undirected as (u < v), wedges from a hash self-join on
+    the middle vertex with u < v < w (each triangle generated exactly
+    once), closed by a LEFT SEMI hash join against the edge set, then
+    exploded to its three corners for the per-vertex counts.  At
+    scale the canonical orientation is by (degree, id) — bounding
+    wedge fan-out by the max LOW-degree — here out-degree is a
+    constant 2, so id order is already degree order.  All joins are
+    keyed hash joins; no NLJ."""
+    d = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    n_docs = d.count()  # scalar for the edge synthesis, same as pagerank
+    directed = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(
+            (F.col("doc_id") + 1) % n_docs,
+            (F.col("doc_id") + 2) % n_docs,
+            (F.col("doc_id") * 7 + 1) % n_docs,
+        )).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = (
+        directed.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(
+        e2, (F.col("e1.v") == F.col("e2.u"))
+        & (F.col("e1.u") < F.col("e2.v"))
+    ).select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+             F.col("e2.v").alias("c"))
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        "left_semi")
+    corners = tris.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def nearest_join(spark, sf_dir):
+    """Bidirectional nearest-event join: each purchase matched to the
+    user's closest click in TIME, before OR after — the generalized
+    as-of join (asof_join is the backward half).  Because both sides
+    live in one ordered stream, carry-forward (last ignorenulls over
+    preceding rows) and carry-backward (first ignorenulls over
+    following rows) run on the SAME keyed sort — one shuffle, no
+    self-join, no range join.  Ties (equal gaps) break to the earlier
+    click; all gap arithmetic is whole-second integers."""
+    ev = Catalog(spark, sf_dir).table("events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = base.rowsBetween(Window.unboundedPreceding, -1)
+    wn = base.rowsBetween(1, Window.unboundedFollowing)
+    is_click = F.col("event_type") == "click"
+    click_id = F.when(is_click, F.col("event_id"))
+    click_ts = F.when(is_click, F.unix_timestamp("ts"))
+    rows = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("_t"),
+        F.last(click_id, ignorenulls=True).over(wp).alias("_pid"),
+        F.last(click_ts, ignorenulls=True).over(wp).alias("_pts"),
+        F.first(click_id, ignorenulls=True).over(wn).alias("_nid"),
+        F.first(click_ts, ignorenulls=True).over(wn).alias("_nts"),
+    ).filter(F.col("event_type") == "purchase")
+    gp = F.col("_t") - F.col("_pts")
+    gn = F.col("_nts") - F.col("_t")
+    prefer_prev = F.col("_nts").isNull() | (gp <= gn)
+    return rows.select(
+        "event_id", "user_id",
+        F.when(F.col("_pts").isNull() & F.col("_nts").isNull(), F.lit(None))
+        .when(F.col("_pts").isNull(), F.col("_nid"))
+        .when(prefer_prev, F.col("_pid"))
+        .otherwise(F.col("_nid")).alias("nearest_click"),
+        F.when(F.col("_pts").isNull() & F.col("_nts").isNull(), F.lit(None))
+        .when(F.col("_pts").isNull(), gn)
+        .when(prefer_prev, gp)
+        .otherwise(gn).cast("long").alias("gap_sec"),
+    )
+
+
+def map_funcs(spark, sf_dir):
+    """MAP-typed column surface: build a per-user event_type→count
+    map with map_from_entries over sorted entries, consume it with
+    size / element_at / map_keys.  The map itself stays
+    engine-internal (map render order is not portable); the hash
+    contract is on the scalar lookups and the sorted-key join — the
+    same internal-sketch / portable-output discipline as the
+    certificate queries."""
+    ev = Catalog(spark, sf_dir).table("events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    g = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("_m"))
+    return g.select(
+        "user_id",
+        F.size("_m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("_m", "click"), F.lit(0))
+        .cast("long").alias("n_clicks"),
+        F.coalesce(F.element_at("_m", "error"), F.lit(0))
+        .cast("long").alias("n_errors"),
+        F.array_join(F.map_keys("_m"), ",").alias("types_csv"),
+    )
+
+
+def pivot_multi(spark, sf_dir):
+    """Pivot with MULTIPLE aggregates per cell (count + exact DECIMAL
+    sum) over a declared domain — the wide-report shape.  Spark emits
+    NULL for an empty pivot cell where a FILTER-aggregate oracle
+    emits 0 for counts, so counts are coalesced post-pivot; empty
+    sums stay NULL in both engines."""
+    o = Catalog(spark, sf_dir).table("orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("total"))
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in ("O", "F", "P"):
+        cols.append(F.coalesce(F.col(f"{s}_cnt"), F.lit(0))
+                    .cast("long").alias(f"{s.lower()}_cnt"))
+        cols.append(F.col(f"{s}_total").alias(f"{s.lower()}_total"))
+    return piv.select(*cols)
+
+
+def interval_union(spark, sf_dir):
+    """Total covered time per user under overlapping activity
+    intervals (each event opens a 300-second window): the classic
+    interval-union / coverage problem — overlapping spans must merge
+    before summing or double-counted seconds inflate the metric.
+    Plan: running max of interval end over each user's ordered
+    events; a span whose start exceeds every earlier end starts a new
+    island (cumulative flag sum); islands aggregate to (min start,
+    max end) and their lengths sum per user.  ONE keyed shuffle
+    drives all three windows + the final aggregate; integer-second
+    arithmetic end to end."""
+    ev = Catalog(spark, sf_dir).table("events")
+    s = F.unix_timestamp("ts")
+    spans = ev.select("user_id", "event_id", s.alias("_s"),
+                      (s + 300).alias("_e"))
+    # order on the FLOORED second (+ id) — the oracle sorts the same
+    # derived key; raw-µs order could differ within a second
+    base = Window.partitionBy("user_id").orderBy("_s", "event_id")
+    prev_max_end = F.max("_e").over(
+        base.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.select(
+        "user_id", "event_id", "_s", "_e",
+        F.when(prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1)
+        .otherwise(0).alias("_new"))
+    islands = flagged.select(
+        "user_id", "_s", "_e",
+        F.sum("_new").over(
+            base.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"))
+    merged = islands.groupBy("user_id", "_isl").agg(
+        F.min("_s").alias("_ms"), F.max("_e").alias("_me"))
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("_me") - F.col("_ms")).cast("long")
+        .alias("covered_sec"))
+
+
+def kmeans_clusters(spark, sf_dir):
+    """Spherical k-means (k=8, 5 Lloyd iterations) over the embedding
+    corpus — bounded driver-side training sample, map-side JVM
+    assignment.  Rows-only (float order); numpy twin replays
+    train+assign in tests/test_round10_ops.py."""
+    return SIM.kmeans_assignments(
+        Catalog(spark, sf_dir).table("embeddings"), k=8, iters=5)
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -3684,6 +3862,13 @@ QUERIES: dict[str, QueryFn] = {
     "dict_encode": dict_encode,
     "null_funcs": null_funcs,
     "pmi_pairs": pmi_pairs,
+    # — (a'''''') hash-checked round-10 additions (§2.20): queue
+    #   after the round-9 block, same contiguous-ungreen-prefix rule —
+    "triangle_count": triangle_count,
+    "nearest_join": nearest_join,
+    "map_funcs": map_funcs,
+    "pivot_multi": pivot_multi,
+    "interval_union": interval_union,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,
@@ -3801,4 +3986,5 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": multimodal_features,
     "pagerank_iter": pagerank_iter,
     "pca_project": pca_project,
+    "kmeans_clusters": kmeans_clusters,
 }

@@ -482,3 +482,34 @@ def test_max_concurrency_windows_are_keyed(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", low):
         args = m.group(1)
         assert args.count(",") >= 2, f"unpartitioned window: {args}"
+
+
+ROUND10_KEYS = [
+    "triangle_count", "nearest_join", "map_funcs", "pivot_multi",
+    "interval_union", "kmeans_clusters",
+]
+
+
+def test_round10_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND10_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_triangle_closure_is_a_semi_hash_join(spark):
+    """The wedge-closing EXISTS must plan as a LeftSemi HASH join on
+    (u, w) — the shape that keeps triangle counting linear in wedge
+    volume at scale."""
+    p = plan(Q.triangle_count(spark, SF_SMOKE))
+    assert "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_nearest_join_single_shuffle(spark):
+    """Both direction scans (carry-forward and carry-backward) must
+    share ONE keyed exchange — the bidirectional-as-of promise."""
+    p = plan(Q.nearest_join(spark, SF_SMOKE))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p  # no self-join anywhere
