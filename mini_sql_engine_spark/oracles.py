@@ -2622,3 +2622,79 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(me - ms) AS BIGINT) AS covered_sec
 FROM merged GROUP BY user_id
 """
+
+# ── round-11 batch: lateral / decorrelation stress / GROUP BY ALL ─
+# ── front-door SQL (identical text both engines) + samplers ──────
+
+ORACLES["lateral_topn"] = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+"""
+
+ORACLES["exists_ineq"] = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_quantity > 45
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+"""
+
+ORACLES["group_by_all"] = """
+SELECT year(o_orderdate) AS yr, o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ALL
+"""
+
+# Exact-integer systematic weighted sampling: same hash order, same
+# running total, same stride crossings — no RNG, no libm.
+ORACLES["weighted_sample"] = """
+WITH h AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY hx, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+  FROM h
+), tot AS (
+  SELECT sum(n_chars) AS w FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(c // (tot.w // 20) AS BIGINT) AS bucket
+FROM cum, tot
+WHERE (c - n_chars) // (tot.w // 20) <> c // (tot.w // 20)
+"""
+
+ORACLES["time_split_leakage"] = """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END)
+           AS tr,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END)
+           AS ev
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(tr) AS BIGINT) AS n_train_events,
+       CAST(sum(ev) AS BIGINT) AS n_eval_events,
+       CAST(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train_users,
+       CAST(sum(CASE WHEN ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eval_users,
+       CAST(sum(CASE WHEN tr > 0 AND ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_users
+FROM per_user
+"""

@@ -3751,6 +3751,114 @@ def kmeans_clusters(spark, sf_dir):
         Catalog(spark, sf_dir).table("embeddings"), k=8, iters=5)
 
 
+# ─────────── §2.21 round-11 surface extensions ───────────
+
+
+def lateral_topn(spark, sf_dir):
+    """Correlated LATERAL derived table (top-3 customers per nation)
+    through the SQL front door — IDENTICAL SQL text on both engines.
+    Catalyst decorrelates the correlated LIMIT subquery into window
+    machinery over one keyed shuffle (plan-gated: no nested-loop
+    per-outer-row re-execution), which is what lets the lateral idiom
+    survive a fact-sized outer side at scale."""
+    return _front_door_sql(spark, sf_dir, "lateral_topn")
+
+
+def exists_ineq(spark, sf_dir):
+    """Correlated EXISTS whose predicate mixes an equi key with an
+    INEQUALITY on correlated columns (late-shipped big lineitems) —
+    the decorrelation stress beyond `exists_subquery`: the equi half
+    must become the semi-join key with the inequality evaluated as a
+    join residual, not a nested loop."""
+    return _front_door_sql(spark, sf_dir, "exists_ineq")
+
+
+def group_by_all(spark, sf_dir):
+    """GROUP BY ALL (modern SQL surface, Spark 3.4+/DuckDB): every
+    non-aggregate select item becomes a grouping key — same text both
+    engines, exact DECIMAL revenue discipline."""
+    return _front_door_sql(spark, sf_dir, "group_by_all")
+
+
+def weighted_sample(spark, sf_dir):
+    """Deterministic weighted systematic sampling: order the corpus
+    by a content hash (portable md5-hex string order), take the
+    inclusive running total of the weights (n_chars), and keep every
+    document whose cumulative span crosses a multiple of
+    stride = W div 20 — Σ-proportional inclusion (the importance-
+    sampling step of corpus mixing) from EXACT integer arithmetic:
+    no RNG, no libm, rerun/engine/layout-reproducible.  The running
+    total is the distributed prefix-sum (range partition →
+    per-partition cumsum → O(P) offsets), never a single-task global
+    window; the total weight is a 1-row broadcast."""
+    docs = Catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"))
+    cum = SO.with_running_total(docs, "n_chars", "_h", "doc_id",
+                                alias="_cum")
+    total = cum.groupBy().agg(F.sum("n_chars").alias("_w"))
+    stride = (F.col("_w") / F.lit(20)).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(total))  # 1-row scalar fan-out
+        .select(
+            "doc_id", F.col("n_chars").cast("long").alias("weight"),
+            ((F.col("_cum") - F.col("n_chars")) / stride).cast("long")
+            .alias("_b0"),
+            (F.col("_cum") / stride).cast("long").alias("bucket"))
+        .filter(F.col("_b0") != F.col("bucket"))
+        .select("doc_id", "weight", "bucket")
+    )
+
+
+def time_split_leakage(spark, sf_dir):
+    """Temporal train/eval split audit at a fixed cutoff: event and
+    user counts per side plus the LEAKAGE metric — users active on
+    both sides of the cutoff (exactly what a user-level time split
+    must exclude).  Per-user flags first (one keyed agg), then a
+    1-row summary; all counts exact BIGINT."""
+    ev = Catalog(spark, sf_dir).table("events")
+    cutoff = F.lit("2024-02-01").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("_tr"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("_ev"),
+    )
+    return per_user.agg(
+        F.sum("_tr").cast("long").alias("n_train_events"),
+        F.sum("_ev").cast("long").alias("n_eval_events"),
+        F.sum(F.when(F.col("_tr") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_train_users"),
+        F.sum(F.when(F.col("_ev") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_eval_users"),
+        F.sum(F.when((F.col("_tr") > 0) & (F.col("_ev") > 0), 1)
+              .otherwise(0)).cast("long").alias("n_leaky_users"),
+    )
+
+
+def dedup_eval(spark, sf_dir):
+    """Candidate-quality evaluation harness as an operator: MinHash-
+    LSH candidate pairs scored against the exact-Jaccard ground truth
+    (t=0.6) — tp/fp/fn plus precision/recall in ONE summary row.  The
+    'measure, don't guess' loop every approximate dedup deployment
+    needs, runnable on a sample of the real corpus before committing
+    (bands, rows) at full scale.  Rows-only (the LSH stage is
+    xxhash-seeded, deterministic but not SQL-portable); pytest pins
+    recall ≥ 0.6 and the tp+fn ≡ |truth| identity."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    truth = DD.ngram_jaccard_pairs_capped(
+        docs, n=3, threshold=0.6, max_df=1000).select("doc_a", "doc_b")
+    cand = DD.minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+    n_cand = cand.count()
+    n_truth = truth.count()
+    fp, fn = n_cand - tp, n_truth - tp
+    row = [(int(tp), int(fp), int(fn),
+            round(tp / n_cand, 6) if n_cand else None,
+            round(tp / n_truth, 6) if n_truth else None)]
+    return spark.createDataFrame(
+        row, "tp bigint, fp bigint, fn bigint, "
+             "precision double, recall double")
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -3869,6 +3977,13 @@ QUERIES: dict[str, QueryFn] = {
     "map_funcs": map_funcs,
     "pivot_multi": pivot_multi,
     "interval_union": interval_union,
+    # — (a''''''') hash-checked round-11 additions (§2.21): queue
+    #   after the round-10 block, same contiguous-ungreen-prefix rule —
+    "lateral_topn": lateral_topn,
+    "exists_ineq": exists_ineq,
+    "group_by_all": group_by_all,
+    "weighted_sample": weighted_sample,
+    "time_split_leakage": time_split_leakage,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,
@@ -3987,4 +4102,5 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_iter": pagerank_iter,
     "pca_project": pca_project,
     "kmeans_clusters": kmeans_clusters,
+    "dedup_eval": dedup_eval,
 }

@@ -513,3 +513,37 @@ def test_nearest_join_single_shuffle(spark):
     p = plan(Q.nearest_join(spark, SF_SMOKE))
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Join" not in p, p  # no self-join anywhere
+
+
+ROUND11_KEYS = [
+    "lateral_topn", "exists_ineq", "group_by_all", "weighted_sample",
+    "time_split_leakage",
+]
+
+# weighted_sample carries the 1-row total-weight scalar crossJoin
+ROUND11_SCALAR_NLJ_OK = {"weighted_sample"}
+
+
+def test_round11_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND11_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND11_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The correlated LIMIT subquery must become WindowGroupLimit +
+    hash join — per-task top-k BEFORE the exchange, not a
+    re-execution of the subquery per outer row."""
+    p = plan(Q.lateral_topn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_exists_ineq_is_semi_join_with_residual(spark):
+    """Equi half as the semi-join key, inequality as the residual."""
+    p = plan(Q.exists_ineq(spark, SF_SMOKE))
+    assert "LeftSemi" in p, p
+    assert "l_shipdate" in p and "60" in p, p
