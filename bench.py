@@ -109,6 +109,10 @@ SF1_KEYS = [
     # join-back, percentile-limit winsorization, bounded-frame window
     # HOF median — the new shapes whose scale behavior matters most
     "moments_agg", "winsorize", "rolling_median",
+    # round-10/11 shapes on the replicated facts: decorrelated LATERAL
+    # top-n (WindowGroupLimit), EXISTS with inequality residual,
+    # multi-agg pivot, dictionary encode join-back
+    "lateral_topn", "exists_ineq", "pivot_multi", "dict_encode",
 ]
 
 

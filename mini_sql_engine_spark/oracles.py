@@ -2698,3 +2698,71 @@ SELECT CAST(sum(tr) AS BIGINT) AS n_train_events,
          AS n_leaky_users
 FROM per_user
 """
+
+# ── round-12 batch: OR-join rewrite, grouped sampling, bursts, ──
+# ── relational division, streak islands ─────────────────────────
+
+ORACLES["or_join_union"] = """
+WITH pairs AS (
+  SELECT DISTINCT s_suppkey, c_custkey
+  FROM supplier s JOIN customer c
+    ON s.s_nationkey = c.c_nationkey
+    OR floor(s.s_acctbal / 100) = floor(c.c_acctbal / 100)
+)
+SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_matches
+FROM pairs GROUP BY s_suppkey
+"""
+
+ORACLES["sample_k_grouped"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= 10
+"""
+
+ORACLES["burst_detect"] = """
+WITH w AS (
+  SELECT event_id, user_id,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+           AS n_recent_errors
+  FROM events
+)
+SELECT event_id, user_id, CAST(n_recent_errors AS BIGINT)
+         AS n_recent_errors
+FROM w WHERE n_recent_errors >= 5
+"""
+
+ORACLES["rel_division"] = """
+WITH hv AS (
+  SELECT user_id, event_type FROM events WHERE value > 100
+), nt AS (
+  SELECT count(DISTINCT event_type) AS n FROM hv
+), per_user AS (
+  SELECT user_id, count(DISTINCT event_type) AS k
+  FROM hv GROUP BY user_id
+)
+SELECT user_id, CAST(k AS BIGINT) AS n_types
+FROM per_user, nt WHERE k = nt.n
+"""
+
+ORACLES["streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), isl AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INTEGER)
+           AS anchor
+  FROM days
+), lens AS (
+  SELECT user_id, anchor, count(*) AS len
+  FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+FROM lens GROUP BY user_id
+"""

@@ -3859,6 +3859,103 @@ def dedup_eval(spark, sf_dir):
              "precision double, recall double")
 
 
+# ─────────── §2.22 round-12 surface extensions ───────────
+
+
+def or_join_union(spark, sf_dir):
+    """OR-of-equi-keys join via the union-of-hash-joins rewrite: a
+    raw `a.x = b.x OR a.y = b.y` condition cannot be a hash-join key
+    (Spark would fall back to a nested loop — quadratic at scale);
+    the classical rewrite runs ONE hash join per disjunct and dedups
+    the union on the pair key.  Here: suppliers matched to customers
+    sharing a nation OR an acctbal hundred-bucket; output is matches
+    per supplier.  Plan-gated: two hash joins, zero NLJ."""
+    cat = Catalog(spark, sf_dir)
+    s = cat.table("supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.floor(F.col("s_acctbal") / 100).alias("s_bucket"))
+    c = cat.table("customer").select(
+        "c_custkey", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).alias("c_bucket"))
+    j1 = s.join(c, s.s_nationkey == c.c_nationkey).select(
+        "s_suppkey", "c_custkey")
+    j2 = s.join(c, s.s_bucket == c.c_bucket).select(
+        "s_suppkey", "c_custkey")
+    pairs = j1.unionAll(j2).distinct()
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"))
+
+
+def sample_k_grouped(spark, sf_dir):
+    """Deterministic exact-k sampling PER GROUP (10 docs per
+    language, the per-stratum cap every corpus mix needs): content-
+    hash order inside a keyed window — reproducible across engines,
+    reruns, and layouts; the window is one keyed shuffle and Spark
+    plans the rank filter as WindowGroupLimit (per-task top-k before
+    the exchange)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (docs.select("doc_id", "lang",
+                        F.row_number().over(w).alias("_r"))
+            .filter(F.col("_r") <= 10)
+            .select("doc_id", "lang"))
+
+
+def burst_detect(spark, sf_dir):
+    """Trailing-frame burst detector: events where ≥ 5 of the user's
+    previous 20 events (ROWS frame, current excluded) were errors —
+    the alerting shape for rate-of-bad-events monitors.  Conditional
+    count over a BOUNDED frame: per-row state is O(frame), one keyed
+    shuffle."""
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-20, -1))
+    n_err = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)).over(w)
+    return (ev.select("event_id", "user_id",
+                      n_err.cast("long").alias("n_recent_errors"))
+            .filter(F.col("n_recent_errors") >= 5))
+
+
+def rel_division(spark, sf_dir):
+    """Relational division ("FOR ALL"): users with a HIGH-VALUE
+    (value > 100) event of EVERY type in the catalog — the classic
+    division pattern, planned as per-user distinct counts compared
+    against the 1-row domain cardinality (broadcast scalar), never a
+    per-element loop.  The value filter keeps the division selective
+    (~40% of users qualify at sf0.01) — division over the unfiltered
+    stream is vacuously true for every user."""
+    ev = Catalog(spark, sf_dir).table("events").filter(
+        F.col("value") > 100)
+    n_types = ev.select("event_type").distinct().agg(
+        F.count(F.lit(1)).alias("_nt"))
+    per_user = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("_k"))
+    return (per_user.crossJoin(F.broadcast(n_types))  # 1-row scalar
+            .filter(F.col("_k") == F.col("_nt"))
+            .select("user_id",
+                    F.col("_k").cast("long").alias("n_types")))
+
+
+def streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    retention metric — via the date-minus-rank islands trick: within
+    a user, consecutive days share a constant (day − rank) anchor;
+    group on it, take the longest island.  Two keyed aggs + one keyed
+    window, all on (user, day) distinct pairs (already collapsed far
+    below event volume)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    days = ev.select("user_id", F.to_date("ts").alias("_day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("_day")
+    isl = days.select(
+        "user_id",
+        F.date_sub("_day", F.row_number().over(w)).alias("_anchor"))
+    lens = isl.groupBy("user_id", "_anchor").agg(
+        F.count(F.lit(1)).alias("_len"))
+    return lens.groupBy("user_id").agg(
+        F.max("_len").cast("long").alias("longest_streak"))
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -3984,6 +4081,13 @@ QUERIES: dict[str, QueryFn] = {
     "group_by_all": group_by_all,
     "weighted_sample": weighted_sample,
     "time_split_leakage": time_split_leakage,
+    # — (a'''''''') hash-checked round-12 additions (§2.22): queue
+    #   after the round-11 block, same contiguous-ungreen-prefix rule —
+    "or_join_union": or_join_union,
+    "sample_k_grouped": sample_k_grouped,
+    "burst_detect": burst_detect,
+    "rel_division": rel_division,
+    "streaks": streaks,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,

@@ -547,3 +547,35 @@ def test_exists_ineq_is_semi_join_with_residual(spark):
     p = plan(Q.exists_ineq(spark, SF_SMOKE))
     assert "LeftSemi" in p, p
     assert "l_shipdate" in p and "60" in p, p
+
+
+ROUND12_KEYS = [
+    "or_join_union", "sample_k_grouped", "burst_detect",
+    "rel_division", "streaks",
+]
+
+# rel_division carries the 1-row domain-cardinality scalar crossJoin
+ROUND12_SCALAR_NLJ_OK = {"rel_division"}
+
+
+def test_round12_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND12_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND12_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_or_join_union_rewrite_uses_hash_joins_only(spark):
+    """The whole point: the naive OR condition would be a nested
+    loop; the rewrite must show exactly two hash joins."""
+    p = plan(Q.or_join_union(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert (p.count("BroadcastHashJoin") + p.count("SortMergeJoin")) == 2, p
+
+
+def test_sample_k_grouped_plans_window_group_limit(spark):
+    """The rank filter must push per-task top-k before the exchange."""
+    p = plan(Q.sample_k_grouped(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p, p
