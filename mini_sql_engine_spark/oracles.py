@@ -2766,3 +2766,107 @@ WITH days AS (
 SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
 FROM lens GROUP BY user_id
 """
+
+# ── round-13 batch: MoM growth, conversion latency, profiler, ──
+# ── portable SimHash witness ────────────────────────────────────
+
+ORACLES["mom_growth"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, revenue,
+       CAST(revenue - lag(revenue) OVER w AS DOUBLE)
+         / CAST(lag(revenue) OVER w AS DOUBLE) * 100 AS growth_pct
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+ORACLES["conversion_latency"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id,
+         CAST(floor(epoch(min(e.ts))) - floor(epoch(min(v.tv)))
+              AS BIGINT) AS lat
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.tv
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(lat, 0.5) AS p50_sec,
+       quantile_cont(lat, 0.9) AS p90_sec
+FROM p
+"""
+
+ORACLES["profile_table"] = """
+SELECT 'o_orderstatus' AS col_name,
+       CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+       CAST(max(o_orderstatus) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(min(o_orderpriority) AS VARCHAR),
+       CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR),
+       CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+FROM orders
+"""
+
+
+def _simhash_chunk_sql(k: int) -> str:
+    """16-bit chunk k of the md5-vote SimHash, as DuckDB SQL over the
+    per-doc shingle list ``shs`` — generated from the same bit layout
+    as pipeline.dedup.simhash_md5_chunks."""
+    terms = []
+    for b in range(16):
+        j = k * 16 + b
+        pos, shift = j // 4 + 1, 3 - j % 4
+        dig = (f"(CASE WHEN ascii(substr(md5(s),{pos},1)) <= 57 "
+               f"THEN ascii(substr(md5(s),{pos},1)) - 48 "
+               f"ELSE ascii(substr(md5(s),{pos},1)) - 87 END)")
+        bit = f"(({dig} // {1 << shift}) % 2)"
+        vote = f"list_sum(list_transform(shs, s -> {bit} * 2 - 1))"
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << (15 - b)} "
+                     f"ELSE 0 END)")
+    return " + ".join(terms)
+
+
+ORACLES["simhash_sig"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shs
+  FROM toks WHERE len(tk) >= 3
+)
+SELECT doc_id,
+       CAST({c0} AS BIGINT) AS c0,
+       CAST({c1} AS BIGINT) AS c1,
+       CAST({c2} AS BIGINT) AS c2,
+       CAST({c3} AS BIGINT) AS c3
+FROM shl WHERE len(shs) > 0
+""".format(c0=_simhash_chunk_sql(0), c1=_simhash_chunk_sql(1),
+           c2=_simhash_chunk_sql(2), c3=_simhash_chunk_sql(3))

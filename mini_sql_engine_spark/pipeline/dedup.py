@@ -621,3 +621,53 @@ def containment_pairs(
         )))
     )
     return both.filter(F.col("containment") >= threshold)
+
+
+def simhash_md5_chunks(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Engine-portable SimHash (hash-checked Qkey ``simhash_sig``):
+    64-bit fingerprint from md5 bits — bit j of the fingerprint is 1
+    iff Σ over the doc's distinct shingles of (±1 per shingle's md5
+    bit j) is > 0 (strictly-positive vote, deterministic both
+    engines) — emitted as the four 16-bit blocking chunks
+    ``hamming_pairs`` banding uses.  The xxhash64 ``simhash`` stays
+    the at-scale default (one hash call vs 64 bit extractions); this
+    variant is the cross-engine witness that the vote/chunk algebra
+    is right, the same role ``minhash_signatures_md5`` plays for
+    MinHash.  Shuffle-free: everything is per-row HOF arithmetic.
+    """
+    from mini_sql_engine_spark.functions.text import bind_once
+
+    sh = F.array_distinct(shingles(tokens("text"), n))
+
+    def digit(h: Column, pos: int) -> Column:
+        """Value of hex digit ``pos`` (1-based) of md5 string h."""
+        a = F.ascii(F.substring(h, pos, 1))
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+    def voter(pos: int, shift: int):
+        def fn(acc: Column, h: Column) -> Column:
+            bit = (digit(h, pos).bitwiseAND(1 << shift) != 0)
+            return acc + bit.cast("int") * 2 - 1
+        return fn
+
+    def chunks(v: Column) -> Column:
+        hexs = F.transform(v, lambda s: F.md5(s.cast("binary")))
+        out = []
+        for k in range(4):
+            chunk = F.lit(0)
+            for b in range(16):
+                j = k * 16 + b
+                pos, shift = j // 4 + 1, 3 - j % 4
+                vote = F.aggregate(hexs, F.lit(0), voter(pos, shift))
+                chunk = chunk + (vote > 0).cast("long") * (1 << (15 - b))
+            out.append(chunk)
+        return F.array(*out)
+
+    return (
+        docs.select("doc_id", bind_once(sh, chunks).alias("_c"),
+                    F.size(sh).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select("doc_id",
+                F.col("_c")[0].alias("c0"), F.col("_c")[1].alias("c1"),
+                F.col("_c")[2].alias("c2"), F.col("_c")[3].alias("c3"))
+    )

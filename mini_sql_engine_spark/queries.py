@@ -3956,6 +3956,94 @@ def streaks(spark, sf_dir):
         F.max("_len").cast("long").alias("longest_streak"))
 
 
+# ─────────── §2.23 round-13 surface extensions ───────────
+
+
+def mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per order priority — the
+    reporting staple: exact DECIMAL monthly sums (order-independent),
+    lag over the tiny (priority × month) aggregate, growth percent as
+    ONE IEEE division on identical operands (no rounding needed).
+    First month per priority stays NULL in both engines."""
+    o = Catalog(spark, sf_dir).table("orders")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        "o_orderpriority",
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    growth = ((F.col("revenue") - prev).cast("double")
+              / prev.cast("double") * 100)
+    return monthly.select("month", "o_orderpriority", "revenue",
+                          growth.alias("growth_pct"))
+
+
+def conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution: per user, seconds from the first
+    view to the first purchase strictly AFTER it (the funnel's edge
+    latency), summarized as count + exact interpolated p50/p90 on
+    integer seconds (the `percentiles`/`median_agg` discipline).  Two
+    conditional-min aggregations chained by a user-keyed join — the
+    `funnel` pattern with the timestamps kept."""
+    ev = Catalog(spark, sf_dir).table("events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("_tv")))
+    p = (ev.join(v, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("_tv")))
+         .groupBy("user_id").agg(F.min("ts").alias("_tp"),
+                                 F.first("_tv").alias("_tv2")))
+    lat = p.select(
+        (F.unix_timestamp("_tp") - F.unix_timestamp("_tv2"))
+        .cast("long").alias("_lat"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile("_lat", F.lit(0.5)).alias("p50_sec"),
+        F.percentile("_lat", F.lit(0.9)).alias("p90_sec"),
+    )
+
+
+def profile_table(spark, sf_dir):
+    """Column-profiling summary (the dbt-profiler / data-catalog
+    shape): one row per profiled column with null count, distinct
+    count, and min/max rendered as strings.  A UNION of per-column
+    single-aggregate subplans — each subplan's parquet scan reads
+    ONLY its column (pruned), each countDistinct lives alone in its
+    aggregate so no Expand multiplies the scan; doubles are fixed to
+    DECIMAL(18,2) strings so both engines render identically."""
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def prof(col, minmax):
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(minmax(F.col(col))).cast("string").alias("min_val"),
+            F.max(minmax(F.col(col))).cast("string").alias("max_val"),
+        )
+
+    ident = lambda c: c                      # noqa: E731
+    money = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    return (
+        prof("o_orderstatus", ident)
+        .unionAll(prof("o_orderpriority", ident))
+        .unionAll(prof("o_custkey", ident))
+        .unionAll(prof("o_totalprice", money))
+    )
+
+
+def simhash_sig(spark, sf_dir):
+    """Engine-portable SimHash fingerprints (md5-bit votes → four
+    16-bit blocking chunks) — the cross-engine witness that
+    `dedup_simhash`'s vote/chunk algebra is right, completing the
+    portable-hash witness set (MinHash `minhash_sig`, winnowing
+    `doc_fingerprint`, SimHash here)."""
+    return DD.simhash_md5_chunks(
+        Catalog(spark, sf_dir).table("documents"), n=3)
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4088,6 +4176,12 @@ QUERIES: dict[str, QueryFn] = {
     "burst_detect": burst_detect,
     "rel_division": rel_division,
     "streaks": streaks,
+    # — (a''''''''') hash-checked round-13 additions (§2.23): queue
+    #   after the round-12 block, same contiguous-ungreen-prefix rule —
+    "mom_growth": mom_growth,
+    "conversion_latency": conversion_latency,
+    "profile_table": profile_table,
+    "simhash_sig": simhash_sig,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,

@@ -579,3 +579,30 @@ def test_sample_k_grouped_plans_window_group_limit(spark):
     """The rank filter must push per-task top-k before the exchange."""
     p = plan(Q.sample_k_grouped(spark, SF_SMOKE))
     assert "WindowGroupLimit" in p, p
+
+
+ROUND13_KEYS = [
+    "mom_growth", "conversion_latency", "profile_table", "simhash_sig",
+]
+
+
+def test_round13_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND13_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_profile_table_has_no_expand_and_prunes_scans(spark):
+    """Each per-column subplan must read only its column (pruned
+    ReadSchema) and keep its lone countDistinct Expand-free — the
+    design that lets a 100 TB profile run at one-column scan cost."""
+    p = plan(Q.profile_table(spark, SF_SMOKE))
+    assert "Expand" not in p, p
+    f = formatted(Q.profile_table(spark, SF_SMOKE))
+    schemas = [ln for ln in f.splitlines() if "ReadSchema" in ln]
+    assert len(schemas) == 4
+    for ln in schemas:
+        # one struct field per scan
+        assert ln.count(":") <= 2, ln
