@@ -2870,3 +2870,46 @@ SELECT doc_id,
 FROM shl WHERE len(shs) > 0
 """.format(c0=_simhash_chunk_sql(0), c1=_simhash_chunk_sql(1),
            c2=_simhash_chunk_sql(2), c3=_simhash_chunk_sql(3))
+
+# ── round-14 batch: adoption curve, Pareto/ABC ──────────────────
+
+ORACLES["adoption_curve"] = """
+WITH first_day AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT day, count(*) AS new_users FROM first_day GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+         AS total_users
+FROM daily
+"""
+
+ORACLES["pareto_abc"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders GROUP BY o_custkey
+), cum AS (
+  SELECT o_custkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+  FROM rev
+), tot AS (
+  SELECT CAST(sum(revenue) AS DECIMAL(18,2)) AS t FROM rev
+)
+SELECT o_custkey, revenue,
+       CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE) <= 0.80
+              THEN 'A'
+            WHEN CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE) <= 0.95
+              THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum, tot
+"""

@@ -3843,10 +3843,14 @@ def dedup_eval(spark, sf_dir):
     (bands, rows) at full scale.  Rows-only (the LSH stage is
     xxhash-seeded, deterministic but not SQL-portable); pytest pins
     recall ≥ 0.6 and the tp+fn ≡ |truth| identity."""
+    from mini_sql_engine_spark.plans import materialized
+
     docs = Catalog(spark, sf_dir).table("documents")
-    truth = DD.ngram_jaccard_pairs_capped(
-        docs, n=3, threshold=0.6, max_df=1000).select("doc_a", "doc_b")
-    cand = DD.minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    # three actions consume each side — materialize each pipeline once
+    truth = materialized(DD.ngram_jaccard_pairs_capped(
+        docs, n=3, threshold=0.6, max_df=1000).select("doc_a", "doc_b"))
+    cand = materialized(
+        DD.minhash_lsh_candidates(docs).select("doc_a", "doc_b"))
     tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
     n_cand = cand.count()
     n_truth = truth.count()
@@ -4044,6 +4048,54 @@ def simhash_sig(spark, sf_dir):
         Catalog(spark, sf_dir).table("documents"), n=3)
 
 
+# ─────────── §2.24 round-14 surface extensions ───────────
+
+
+def adoption_curve(spark, sf_dir):
+    """Cumulative-adoption curve: distinct users by their FIRST
+    activity day, then the running total of adopters — the growth
+    chart every product review opens with.  Per-user min (one keyed
+    agg, far below event volume), day counts, and a running sum over
+    the tiny day-level series (global window over ~#days rows — the
+    post-aggregate class, never the fact table)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("_day"))
+    daily = first_day.groupBy("_day").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("total_users"))
+
+
+def pareto_abc(spark, sf_dir):
+    """Pareto / ABC analysis: customers ranked by exact DECIMAL
+    revenue (descending, custkey tie-break), cumulative revenue share
+    against the 1-row broadcast total, classified A (≤80%), B (≤95%),
+    C (rest).  The running total uses the distributed prefix-sum
+    (range partition → per-partition cumsum → O(P) offsets) — at
+    customer-dimension scale a global single-task window would be the
+    classic mistake; the share comparison is IEEE-exact on identical
+    operands in both engines."""
+    o = Catalog(spark, sf_dir).table("orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("revenue"))
+    ordered = SO.with_running_total(
+        rev.select("o_custkey", "revenue",
+                   (-F.col("revenue")).alias("_neg")),
+        "revenue", "_neg", "o_custkey", alias="_cum")
+    total = rev.agg(F.sum("revenue").cast("decimal(18,2)").alias("_t"))
+    share = F.col("_cum").cast("double") / F.col("_t").cast("double")
+    cls = (F.when(share <= 0.80, "A")
+           .when(share <= 0.95, "B").otherwise("C"))
+    return (ordered.crossJoin(F.broadcast(total))  # 1-row scalar
+            .select("o_custkey", "revenue", share.alias("cum_share"),
+                    cls.alias("abc_class")))
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4051,8 +4103,12 @@ def simhash_sig(spark, sf_dir):
 # in the committed CORRECTNESS_r*.json artifacts; leftover slots go
 # to the stalest green keys (oldest artifact round). After round 3
 # the union r1∪r2∪r3 greens 99 keys; the 23 round-4 additions have
-# no driver row yet, so they lead. Key order never affects
-# semantics; every entry is independent.
+# no driver row yet, so they lead. When ungreen keys exceed the cap
+# (rounds 5–14 additions), the overflow queues contiguously right
+# after the front-50 in ROUND ORDER — the driver greens the oldest 50
+# each round and the prefix shifts forward, so every hash-checked key
+# reaches a driver row in bounded rounds with zero reordering risk.
+# Key order never affects semantics; every entry is independent.
 QUERIES: dict[str, QueryFn] = {
     # — (a) hash-checked round-4 additions: no driver row yet
     #   (verified MATCH by the round-3 judge re-drive; this rotation
@@ -4182,6 +4238,10 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_latency": conversion_latency,
     "profile_table": profile_table,
     "simhash_sig": simhash_sig,
+    # — (a'''''''''') hash-checked round-14 additions (§2.24): queue
+    #   after the round-13 block, same contiguous-ungreen-prefix rule —
+    "adoption_curve": adoption_curve,
+    "pareto_abc": pareto_abc,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,

@@ -606,3 +606,27 @@ def test_profile_table_has_no_expand_and_prunes_scans(spark):
     for ln in schemas:
         # one struct field per scan
         assert ln.count(":") <= 2, ln
+
+
+ROUND14_KEYS = ["adoption_curve", "pareto_abc"]
+
+# pareto_abc carries the 1-row total-revenue scalar crossJoin
+ROUND14_SCALAR_NLJ_OK = {"pareto_abc"}
+
+
+def test_round14_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND14_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND14_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_pareto_prefix_sum_is_distributed(spark):
+    """The customer-dimension running total must use the range-
+    partitioned prefix sum: the only unpartitioned window allowed is
+    the O(P) offsets pass over per-partition totals."""
+    p = plan(Q.pareto_abc(spark, SF_SMOKE))
+    assert "RangePartitioning" in p or "rangepartitioning" in p.lower(), p
+    assert "_pid" in p, p
