@@ -2913,3 +2913,68 @@ SELECT o_custkey, revenue,
             ELSE 'C' END AS abc_class
 FROM cum, tot
 """
+
+# ── round-15 batch: RFM segmentation, market-basket pairs ───────
+
+ORACLES["rfm_quintiles"] = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_d,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders GROUP BY o_custkey
+), anchor AS (
+  SELECT max(o_orderdate) AS a FROM orders
+), base AS (
+  SELECT o_custkey,
+         CAST(datediff('day', last_d, anchor.a) AS BIGINT) AS r_days,
+         n_orders, revenue
+  FROM per_cust, anchor
+), th AS (
+  SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.2) AS r_q1,
+         quantile_cont(CAST(r_days AS DOUBLE), 0.4) AS r_q2,
+         quantile_cont(CAST(r_days AS DOUBLE), 0.6) AS r_q3,
+         quantile_cont(CAST(r_days AS DOUBLE), 0.8) AS r_q4,
+         quantile_cont(CAST(n_orders AS DOUBLE), 0.2) AS f_q1,
+         quantile_cont(CAST(n_orders AS DOUBLE), 0.4) AS f_q2,
+         quantile_cont(CAST(n_orders AS DOUBLE), 0.6) AS f_q3,
+         quantile_cont(CAST(n_orders AS DOUBLE), 0.8) AS f_q4,
+         quantile_cont(CAST(revenue AS DOUBLE), 0.2) AS m_q1,
+         quantile_cont(CAST(revenue AS DOUBLE), 0.4) AS m_q2,
+         quantile_cont(CAST(revenue AS DOUBLE), 0.6) AS m_q3,
+         quantile_cont(CAST(revenue AS DOUBLE), 0.8) AS m_q4
+  FROM base
+)
+SELECT o_custkey, r_days, n_orders, revenue,
+       CAST(6 - (1 + CAST(CAST(r_days AS DOUBLE) > th.r_q1 AS INT)
+                   + CAST(CAST(r_days AS DOUBLE) > th.r_q2 AS INT)
+                   + CAST(CAST(r_days AS DOUBLE) > th.r_q3 AS INT)
+                   + CAST(CAST(r_days AS DOUBLE) > th.r_q4 AS INT))
+            AS BIGINT) AS r_q,
+       CAST(1 + CAST(CAST(n_orders AS DOUBLE) > th.f_q1 AS INT)
+              + CAST(CAST(n_orders AS DOUBLE) > th.f_q2 AS INT)
+              + CAST(CAST(n_orders AS DOUBLE) > th.f_q3 AS INT)
+              + CAST(CAST(n_orders AS DOUBLE) > th.f_q4 AS INT)
+            AS BIGINT) AS f_q,
+       CAST(1 + CAST(CAST(revenue AS DOUBLE) > th.m_q1 AS INT)
+              + CAST(CAST(revenue AS DOUBLE) > th.m_q2 AS INT)
+              + CAST(CAST(revenue AS DOUBLE) > th.m_q3 AS INT)
+              + CAST(CAST(revenue AS DOUBLE) > th.m_q4 AS INT)
+            AS BIGINT) AS m_q
+FROM base, th
+"""
+
+ORACLES["basket_pairs"] = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, support
+FROM pairs ORDER BY support DESC, brand_a, brand_b LIMIT 20
+"""

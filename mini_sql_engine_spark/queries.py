@@ -4096,6 +4096,81 @@ def pareto_abc(spark, sf_dir):
                     cls.alias("abc_class")))
 
 
+# ─────────── §2.25 round-15 surface extensions ───────────
+
+
+def rfm_quintiles(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the marketing-analytics staple, done the way it scales: exact
+    interpolated quintile THRESHOLDS from one 1-row aggregate
+    (broadcast), then a pure map-side classification of the customer
+    dimension — no global ntile window over customers.  Quintile rank
+    = 1 + #(thresholds strictly below the value); recency counts DOWN
+    (recent buyers rank high).  All threshold inputs are exact
+    (integer days/counts, DECIMAL revenue cast once to double), so
+    both engines classify identically."""
+    o = Catalog(spark, sf_dir).table("orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("revenue"))
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("_anchor", "_last").cast("long").alias("r_days"),
+        "n_orders", "revenue")
+
+    def quints(col):
+        return [F.percentile(col, F.lit(q)).alias(f"{col}_q{i}")
+                for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)]
+
+    th = base.select(
+        F.col("r_days").alias("r"), F.col("n_orders").alias("f"),
+        F.col("revenue").cast("double").alias("m"),
+    ).agg(*(quints("r") + quints("f") + quints("m")))
+
+    def rank_of(v, name, descending=False):
+        expr = F.lit(1)
+        for i in (1, 2, 3, 4):
+            expr = expr + (v > F.col(f"{name}_q{i}")).cast("int")
+        if descending:  # low value ⇒ high quintile (recency)
+            return (F.lit(6) - expr).cast("long")
+        return expr.cast("long")
+
+    return base.crossJoin(F.broadcast(th)).select(  # 1-row scalars
+        "o_custkey", "r_days", "n_orders", "revenue",
+        rank_of(F.col("r_days").cast("double"), "r", descending=True)
+        .alias("r_q"),
+        rank_of(F.col("n_orders").cast("double"), "f").alias("f_q"),
+        rank_of(F.col("revenue").cast("double"), "m").alias("m_q"),
+    )
+
+
+def basket_pairs(spark, sf_dir):
+    """Market-basket brand co-occurrence: top-20 brand pairs bought
+    in the same order (association-mining support counts).  The
+    self-join fans out on ORDER-local item counts (bounded — a basket
+    has a handful of brands), never corpus-wide; part is broadcast
+    into lineitem; top-20 is a TakeOrderedAndProject with a full
+    tie-break."""
+    cat = Catalog(spark, sf_dir)
+    li, p = cat.table("lineitem"), cat.table("part")
+    ob = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                  li.l_partkey == p.p_partkey)
+          .select("l_orderkey", "p_brand").distinct())
+    pairs = (
+        ob.alias("a")
+        .join(ob.alias("b"),
+              (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+              & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"),
+                 F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return pairs.orderBy(F.desc("support"), "brand_a", "brand_b").limit(20)
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4242,6 +4317,10 @@ QUERIES: dict[str, QueryFn] = {
     #   after the round-13 block, same contiguous-ungreen-prefix rule —
     "adoption_curve": adoption_curve,
     "pareto_abc": pareto_abc,
+    # — (a''''''''''') hash-checked round-15 additions (§2.25): queue
+    #   after the round-14 block, same contiguous-ungreen-prefix rule —
+    "rfm_quintiles": rfm_quintiles,
+    "basket_pairs": basket_pairs,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,

@@ -630,3 +630,30 @@ def test_pareto_prefix_sum_is_distributed(spark):
     p = plan(Q.pareto_abc(spark, SF_SMOKE))
     assert "RangePartitioning" in p or "rangepartitioning" in p.lower(), p
     assert "_pid" in p, p
+
+
+ROUND15_KEYS = ["rfm_quintiles", "basket_pairs"]
+
+# rfm carries two 1-row scalar crossJoins (anchor date + thresholds)
+ROUND15_SCALAR_NLJ_OK = {"rfm_quintiles"}
+
+
+def test_round15_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND15_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND15_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_basket_pairs_top20_is_take_ordered(spark):
+    p = plan(Q.basket_pairs(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_rfm_has_no_global_window(spark):
+    """Classification must be threshold-broadcast + map-side compare —
+    no ntile window over the customer dimension."""
+    p = plan(Q.rfm_quintiles(spark, SF_SMOKE))
+    assert "Window" not in p, p
