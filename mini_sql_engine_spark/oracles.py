@@ -2978,3 +2978,85 @@ WITH ob AS (
 SELECT brand_a, brand_b, support
 FROM pairs ORDER BY support DESC, brand_a, brand_b LIMIT 20
 """
+
+# ── round-16 batch: linear interpolation, chi-square cells, ─────
+# ── position-based attribution ──────────────────────────────────
+
+ORACLES["linear_interp"] = """
+WITH r AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type <> 'error' THEN value END AS reading,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         last_value(CASE WHEN event_type <> 'error' THEN value END
+                    IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN event_type <> 'error'
+                         THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                    IGNORE NULLS) OVER wp AS pt,
+         first_value(CASE WHEN event_type <> 'error' THEN value END
+                     IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN event_type <> 'error'
+                          THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                     IGNORE NULLS) OVER wn AS nt
+  FROM events
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, reading,
+       CASE WHEN reading IS NOT NULL THEN reading
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE))
+       END AS reading_filled
+FROM r
+"""
+
+ORACLES["chi_square_cells"] = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+), rowm AS (
+  SELECT lang, count(*) AS r FROM documents GROUP BY lang
+), colm AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+), tot AS (
+  SELECT count(*) AS n FROM documents
+)
+SELECT obs.lang, obs.source, CAST(o AS BIGINT) AS observed,
+       round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+             / CAST(tot.n AS DOUBLE), 6) AS expected,
+       round(pow(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE), 2)
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                / CAST(tot.n AS DOUBLE)), 6) AS chi2_contrib
+FROM obs
+JOIN rowm ON rowm.lang = obs.lang
+JOIN colm ON colm.source = obs.source
+CROSS JOIN tot
+"""
+
+ORACLES["utouch_attribution"] = """
+WITH marked AS (
+  SELECT event_id, user_id, event_type,
+         first_value(CASE WHEN event_type = 'click' THEN event_id END
+                     IGNORE NULLS) OVER wp AS fc,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER wp AS lc
+  FROM events
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), purchases AS (
+  SELECT fc, lc FROM marked
+  WHERE event_type = 'purchase' AND fc IS NOT NULL
+), credits AS (
+  SELECT fc AS click_id,
+         CASE WHEN fc = lc THEN 1.0 ELSE 0.5 END AS credit
+  FROM purchases
+  UNION ALL
+  SELECT lc, 0.5 FROM purchases WHERE fc <> lc
+)
+SELECT click_id, CAST(sum(credit) AS DOUBLE) AS total_credit,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM credits GROUP BY click_id
+"""

@@ -4171,6 +4171,102 @@ def basket_pairs(spark, sf_dir):
     return pairs.orderBy(F.desc("support"), "brand_a", "brand_b").limit(20)
 
 
+# ─────────── §2.26 round-16 surface extensions ───────────
+
+
+def linear_interp(spark, sf_dir):
+    """Linear-interpolation imputation — `locf_fill`'s upgrade: error
+    events get NULL readings (same deterministic planting), interior
+    gaps fill as prev + (next−prev)·(t−tp)/(tn−tp) on integer epoch
+    seconds; leading gaps take the next value (NOCB), trailing gaps
+    carry the last (LOCF).  Four ignore-nulls window scans share ONE
+    keyed sort; every arithmetic step is IEEE-exact on identical
+    operands, so the fill is hash-verifiable."""
+    ev = Catalog(spark, sf_dir).table("events")
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    t = F.unix_timestamp("ts")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = base.rowsBetween(Window.unboundedPreceding, -1)
+    wn = base.rowsBetween(1, Window.unboundedFollowing)
+    rows = ev.select(
+        "event_id", "user_id", reading.alias("reading"),
+        t.alias("_t"),
+        F.last(reading, ignorenulls=True).over(wp).alias("_pv"),
+        F.last(F.when(reading.isNotNull(), t), ignorenulls=True)
+        .over(wp).alias("_pt"),
+        F.first(reading, ignorenulls=True).over(wn).alias("_nv"),
+        F.first(F.when(reading.isNotNull(), t), ignorenulls=True)
+        .over(wn).alias("_nt"),
+    )
+    frac = ((F.col("_t") - F.col("_pt")).cast("double")
+            / (F.col("_nt") - F.col("_pt")).cast("double"))
+    filled = (
+        F.when(F.col("reading").isNotNull(), F.col("reading"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .otherwise(F.col("_pv")
+                   + (F.col("_nv") - F.col("_pv")) * frac))
+    return rows.select("event_id", "user_id", "reading",
+                       filled.alias("reading_filled"))
+
+
+def chi_square_cells(spark, sf_dir):
+    """Contingency-table independence diagnostics (lang × source):
+    observed vs expected counts and the per-cell χ² contribution —
+    the drift/assocation screen run before trusting a stratified
+    split.  Expected = row·col/total from exact integer marginals
+    (three broadcast joins of tiny aggregates); per-CELL output keeps
+    every float op on identical operands (a global χ² sum would be
+    accumulation-order dependent — consumers sum the rounded cells)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("observed"))
+    rowm = d.groupBy("lang").agg(F.count(F.lit(1)).alias("_r"))
+    colm = d.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
+    tot = d.agg(F.count(F.lit(1)).alias("_n"))
+    e = (F.col("_r").cast("double") * F.col("_c").cast("double")
+         / F.col("_n").cast("double"))
+    contrib = ((F.col("observed").cast("double") - e) ** 2) / e
+    return (obs.join(F.broadcast(rowm), "lang")
+            .join(F.broadcast(colm), "source")
+            .crossJoin(F.broadcast(tot))  # 1-row scalar
+            .select("lang", "source",
+                    F.col("observed").cast("long").alias("observed"),
+                    F.round(e, 6).alias("expected"),
+                    F.round(contrib, 6).alias("chi2_contrib")))
+
+
+def utouch_attribution(spark, sf_dir):
+    """Position-based multi-touch attribution: each purchase splits
+    credit 0.5 / 0.5 between the user's FIRST and LAST preceding
+    click (1.0 when they coincide) — `attribution`'s last-touch model
+    generalized.  Two ignore-nulls scans over ONE keyed sort, credits
+    emitted per purchase via a per-row inline expansion, then summed
+    per click.  Credits are dyadic (0.5/1.0), so the double sum is
+    EXACT in any order — hash-checkable without decimal casts."""
+    ev = Catalog(spark, sf_dir).table("events")
+    wp = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    marked = ev.select(
+        "event_id", "user_id", "event_type",
+        F.first(click_id, ignorenulls=True).over(wp).alias("_fc"),
+        F.last(click_id, ignorenulls=True).over(wp).alias("_lc"),
+    ).filter((F.col("event_type") == "purchase")
+             & F.col("_fc").isNotNull())
+    same = F.col("_fc") == F.col("_lc")
+    credits = marked.select(F.inline(F.array(
+        F.struct(F.col("_fc").alias("click_id"),
+                 F.when(same, 1.0).otherwise(0.5).alias("credit")),
+        F.struct(F.col("_lc").alias("click_id"),
+                 F.when(same, 0.0).otherwise(0.5).alias("credit")),
+    )))
+    return (credits.filter(F.col("credit") > 0)
+            .groupBy("click_id")
+            .agg(F.sum("credit").alias("total_credit"),
+                 F.count(F.lit(1)).cast("long").alias("n_purchases")))
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4321,6 +4417,11 @@ QUERIES: dict[str, QueryFn] = {
     #   after the round-14 block, same contiguous-ungreen-prefix rule —
     "rfm_quintiles": rfm_quintiles,
     "basket_pairs": basket_pairs,
+    # — (a'''''''''''') hash-checked round-16 additions (§2.26):
+    #   queue after round-15, same contiguous-ungreen-prefix rule —
+    "linear_interp": linear_interp,
+    "chi_square_cells": chi_square_cells,
+    "utouch_attribution": utouch_attribution,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,

@@ -657,3 +657,24 @@ def test_rfm_has_no_global_window(spark):
     no ntile window over the customer dimension."""
     p = plan(Q.rfm_quintiles(spark, SF_SMOKE))
     assert "Window" not in p, p
+
+
+ROUND16_KEYS = ["linear_interp", "chi_square_cells", "utouch_attribution"]
+
+# chi_square carries the 1-row total scalar crossJoin
+ROUND16_SCALAR_NLJ_OK = {"chi_square_cells"}
+
+
+def test_round16_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND16_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND16_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_linear_interp_single_shuffle(spark):
+    """All four ignore-nulls scans must share ONE keyed exchange."""
+    p = plan(Q.linear_interp(spark, SF_SMOKE))
+    assert p.count("Exchange hashpartitioning") == 1, p
