@@ -3060,3 +3060,62 @@ SELECT click_id, CAST(sum(credit) AS DOUBLE) AS total_credit,
        CAST(count(*) AS BIGINT) AS n_purchases
 FROM credits GROUP BY click_id
 """
+
+# -- round-17 batch: cluster-size histogram, new-vs-returning --
+
+# The dedup_cc recursive CTE with the histogram aggregation on top.
+ORACLES["cluster_sizes"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges0 AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.6
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges0
+  UNION ALL
+  SELECT doc_b, doc_a FROM edges0
+), reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+, labels AS (
+  SELECT node, min(lab) AS rep FROM reach GROUP BY node
+), per_cluster AS (
+  SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM per_cluster GROUP BY cluster_size
+"""
+
+ORACLES["dau_new_returning"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS fd FROM days GROUP BY user_id
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN day <> fd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM days JOIN first USING (user_id)
+GROUP BY day
+"""

@@ -4267,6 +4267,50 @@ def utouch_attribution(spark, sf_dir):
                  F.count(F.lit(1)).cast("long").alias("n_purchases")))
 
 
+# ─────────── §2.27 round-17 surface extensions ───────────
+
+
+def cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram: `dedup_cc`'s components
+    aggregated to (cluster size → number of clusters) — the ONE
+    number a dedup deployment watches (a giant component means the
+    threshold or the shingling broke; many 2-clusters means classic
+    near-dups).  Two tiny keyed aggs on top of the CC labels; the
+    oracle extends the identical recursive CTE."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = DD.ngram_jaccard_pairs_capped(docs, n=3, threshold=0.6)
+    labels = GR.dedup_clusters(pairs.select("doc_a", "doc_b"))
+    per_cluster = labels.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"),
+             "n_clusters")
+
+
+def dau_new_returning(spark, sf_dir):
+    """Daily active users split NEW vs RETURNING (the growth
+    dashboard's second panel, after `adoption_curve`): a user's first
+    activity day comes from one keyed min-agg (broadcast back — the
+    per-user table is far below event volume), each active (user,
+    day) pair classifies map-side."""
+    ev = Catalog(spark, sf_dir).table("events")
+    days = ev.select("user_id", F.to_date("ts").alias("_day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("_day").alias("_first"))
+    return (
+        days.join(F.broadcast(first), "user_id")
+        .groupBy("_day")
+        .agg(
+            F.sum(F.when(F.col("_day") == F.col("_first"), 1)
+                  .otherwise(0)).cast("long").alias("n_new"),
+            F.sum(F.when(F.col("_day") != F.col("_first"), 1)
+                  .otherwise(0)).cast("long").alias("n_returning"),
+        )
+        .select(F.date_format("_day", "yyyy-MM-dd").alias("day"),
+                "n_new", "n_returning")
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4422,6 +4466,10 @@ QUERIES: dict[str, QueryFn] = {
     "linear_interp": linear_interp,
     "chi_square_cells": chi_square_cells,
     "utouch_attribution": utouch_attribution,
+    # — (a''''''''''''') hash-checked round-17 additions (§2.27):
+    #   queue after round-16, same contiguous-ungreen-prefix rule —
+    "cluster_sizes": cluster_sizes,
+    "dau_new_returning": dau_new_returning,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,

@@ -678,3 +678,20 @@ def test_linear_interp_single_shuffle(spark):
     """All four ignore-nulls scans must share ONE keyed exchange."""
     p = plan(Q.linear_interp(spark, SF_SMOKE))
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+ROUND17_KEYS = ["cluster_sizes", "dau_new_returning"]
+
+
+def test_round17_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND17_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_dau_first_day_joins_broadcast(spark):
+    p = plan(Q.dau_new_returning(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
