@@ -3119,3 +3119,59 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM days JOIN first USING (user_id)
 GROUP BY day
 """
+
+# ── round-18 batch: grouped vocabulary heads, trigram paths, ────
+# ── snapshot diff ───────────────────────────────────────────────
+
+ORACLES["terms_per_lang"] = """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term
+), ranked AS (
+  SELECT lang, term, CAST(n AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, term) AS r
+  FROM counts
+)
+SELECT lang, term, n FROM ranked WHERE r <= 5
+"""
+
+ORACLES["event_trigrams"] = """
+WITH p AS (
+  SELECT lag(event_type, 2) OVER w AS s1,
+         lag(event_type, 1) OVER w AS s2,
+         event_type AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE s1 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n DESC, s1, s2, s3 LIMIT 20
+"""
+
+ORACLES["snapshot_diff"] = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS ha FROM documents
+), b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                  ELSE text END) AS hb
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, md5(text) AS hb
+  FROM documents WHERE doc_id % 19 = 0
+), j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, ha, hb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT CASE WHEN ha IS NULL THEN 'added'
+            WHEN hb IS NULL THEN 'removed'
+            WHEN ha <> hb THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1
+"""

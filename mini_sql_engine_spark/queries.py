@@ -4311,6 +4311,79 @@ def dau_new_returning(spark, sf_dir):
     )
 
 
+# ─────────── §2.28 round-18 surface extensions ───────────
+
+
+def terms_per_lang(spark, sf_dir):
+    """Top-5 terms PER LANGUAGE (grouped vocabulary heads — the
+    per-stratum variant of the global `term_counts`/`ngram_top`):
+    explode → (lang, term) counts with map-side partials → keyed
+    rank filter planned as WindowGroupLimit (per-task top-k BEFORE
+    the exchange, plan-gated), full (count, term) tie-break."""
+    d = Catalog(spark, sf_dir).table("documents")
+    counts = (
+        d.select("lang", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (counts.select("lang", "term", F.col("n").cast("long").alias("n"),
+                          F.row_number().over(w).alias("_r"))
+            .filter(F.col("_r") <= 5)
+            .select("lang", "term", "n"))
+
+
+def event_trigrams(spark, sf_dir):
+    """Top-20 three-step behavior paths (event-type trigrams per
+    user stream) — the sequence-mining extension of the bigram
+    `event_transitions`: two lags over ONE keyed sort, global path
+    counts, TakeOrderedAndProject with a full tie-break."""
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("s1"),
+            F.lag("event_type", 1).over(w).alias("s2"),
+            F.col("event_type").alias("s3"))
+        .filter(F.col("s1").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return paths.orderBy(F.desc("n"), "s1", "s2", "s3").limit(20)
+
+
+def snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (incremental-ingestion CDC for document
+    stores): snapshot B is derived deterministically from A (docs
+    with id%13==0 removed, id%17==0 rewritten, id%19==0 re-ingested
+    under a fresh id — so all four statuses occur) and the diff is a
+    single FULL OUTER hash join on doc_id comparing md5 content
+    hashes — per-doc status added/removed/changed/unchanged, here
+    aggregated to the audit counts.  At scale both sides shuffle
+    once on the join key; text never crosses the wire (only the
+    128-bit hashes)."""
+    a = Catalog(spark, sf_dir).table("documents") \
+        .select("doc_id", F.md5("text").alias("_ha"))
+    d = Catalog(spark, sf_dir).table("documents")
+    b = (d.filter(F.col("doc_id") % 13 != 0)
+         .select("doc_id",
+                 F.md5(F.when(F.col("doc_id") % 17 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))).alias("_hb"))
+         .unionAll(
+             d.filter(F.col("doc_id") % 19 == 0)
+             .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                     F.md5("text").alias("_hb"))))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), "added")
+        .when(F.col("_hb").isNull(), "removed")
+        .when(F.col("_ha") != F.col("_hb"), "changed")
+        .otherwise("unchanged"))
+    return (j.select(status.alias("status"))
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4470,6 +4543,11 @@ QUERIES: dict[str, QueryFn] = {
     #   queue after round-16, same contiguous-ungreen-prefix rule —
     "cluster_sizes": cluster_sizes,
     "dau_new_returning": dau_new_returning,
+    # — (a'''''''''''''') hash-checked round-18 additions (§2.28):
+    #   queue after round-17, same contiguous-ungreen-prefix rule —
+    "terms_per_lang": terms_per_lang,
+    "event_trigrams": event_trigrams,
+    "snapshot_diff": snapshot_diff,
     # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,

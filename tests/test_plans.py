@@ -695,3 +695,24 @@ def test_dau_first_day_joins_broadcast(spark):
     p = plan(Q.dau_new_returning(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+ROUND18_KEYS = ["terms_per_lang", "event_trigrams", "snapshot_diff"]
+
+
+def test_round18_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND18_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_terms_per_lang_window_group_limit(spark):
+    p = plan(Q.terms_per_lang(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_event_trigrams_take_ordered(spark):
+    p = plan(Q.event_trigrams(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
