@@ -633,41 +633,39 @@ def simhash_md5_chunks(docs: DataFrame, n: int = 3) -> DataFrame:
     the at-scale default (one hash call vs 64 bit extractions); this
     variant is the cross-engine witness that the vote/chunk algebra
     is right, the same role ``minhash_signatures_md5`` plays for
-    MinHash.  Shuffle-free: everything is per-row HOF arithmetic.
+    MinHash.
+
+    Plan: explode the distinct shingle set and take the 64 bit-vote
+    sums as ONE columnar hash aggregate keyed by doc — every sum is
+    algebraic (map-side combine collapses the exploded rows before
+    the single exchange) and the 64 bit extractions run inside
+    whole-stage codegen.  The per-row HOF formulation (64 interpreted
+    ``aggregate`` passes over the shingle array) measured 17 s at
+    sf0.1 vs seconds for this shape.
     """
-    from mini_sql_engine_spark.functions.text import bind_once
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), n)))
+        .alias("_s"),
+    ).select("doc_id", F.md5(F.col("_s").cast("binary")).alias("_h"))
 
-    sh = F.array_distinct(shingles(tokens("text"), n))
-
-    def digit(h: Column, pos: int) -> Column:
-        """Value of hex digit ``pos`` (1-based) of md5 string h."""
-        a = F.ascii(F.substring(h, pos, 1))
+    def digit(pos: int) -> Column:
+        a = F.ascii(F.substring("_h", pos, 1))
         return F.when(a <= 57, a - 48).otherwise(a - 87)
 
-    def voter(pos: int, shift: int):
-        def fn(acc: Column, h: Column) -> Column:
-            bit = (digit(h, pos).bitwiseAND(1 << shift) != 0)
-            return acc + bit.cast("int") * 2 - 1
-        return fn
+    aggs = []
+    for j in range(64):
+        pos, shift = j // 4 + 1, 3 - j % 4
+        bit = (digit(pos).bitwiseAND(1 << shift) != 0).cast("int")
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_v{j}"))
+    votes = ex.groupBy("doc_id").agg(*aggs)
 
-    def chunks(v: Column) -> Column:
-        hexs = F.transform(v, lambda s: F.md5(s.cast("binary")))
-        out = []
-        for k in range(4):
-            chunk = F.lit(0)
-            for b in range(16):
-                j = k * 16 + b
-                pos, shift = j // 4 + 1, 3 - j % 4
-                vote = F.aggregate(hexs, F.lit(0), voter(pos, shift))
-                chunk = chunk + (vote > 0).cast("long") * (1 << (15 - b))
-            out.append(chunk)
-        return F.array(*out)
-
-    return (
-        docs.select("doc_id", bind_once(sh, chunks).alias("_c"),
-                    F.size(sh).alias("_n"))
-        .filter(F.col("_n") > 0)
-        .select("doc_id",
-                F.col("_c")[0].alias("c0"), F.col("_c")[1].alias("c1"),
-                F.col("_c")[2].alias("c2"), F.col("_c")[3].alias("c3"))
-    )
+    cols = []
+    for k in range(4):
+        chunk = F.lit(0)
+        for b in range(16):
+            chunk = chunk + (
+                (F.col(f"_v{k * 16 + b}") > 0).cast("long")
+                * (1 << (15 - b)))
+        cols.append(chunk.alias(f"c{k}"))
+    return votes.select("doc_id", *cols)
