@@ -500,12 +500,17 @@ ORACLES["dedup_ngram"] = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(tk) - 1),
                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
            AS shingle
   FROM toks WHERE len(tk) >= 3
+), sh AS (
+  -- mirror ngram_jaccard_pairs_capped's max_df=1000 cap (ADVICE r4):
+  -- Spark and oracle stay definitionally identical at every SF
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -1055,12 +1060,17 @@ ORACLES["dedup_cc"] = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(tk) - 1),
                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
            AS shingle
   FROM toks WHERE len(tk) >= 3
+), sh AS (
+  -- mirror ngram_jaccard_pairs_capped's max_df=1000 cap (ADVICE r4):
+  -- Spark and oracle stay definitionally identical at every SF
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -1420,8 +1430,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CASE WHEN l_discount < 0.05
                      THEN CAST(l_quantity AS DECIMAL(18,2)) END)
             AS DECIMAL(18,2)) AS qty_low_disc,
-       bool_and(l_tax >= 0) AS all_taxed,
-       bool_or(l_discount > 0.09) AS any_deep_disc
+       CAST(bool_and(l_tax >= 0) AS BIGINT) AS all_taxed,
+       CAST(bool_or(l_discount > 0.09) AS BIGINT) AS any_deep_disc
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -1579,12 +1589,17 @@ ORACLES["cluster_canonical"] = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(tk) - 1),
                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
            AS shingle
   FROM toks WHERE len(tk) >= 3
+), sh AS (
+  -- mirror ngram_jaccard_pairs_capped's max_df=1000 cap (ADVICE r4):
+  -- Spark and oracle stay definitionally identical at every SF
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -3068,12 +3083,18 @@ ORACLES["cluster_sizes"] = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(tk) - 1),
                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
            AS shingle
   FROM toks WHERE len(tk) >= 3
+), sh AS (
+  -- mirror ngram_jaccard_pairs_capped's max_df=1000 document-frequency
+  -- cap, so Spark and oracle are definitionally identical at EVERY
+  -- scale factor, not just ones where no shingle exceeds the cap
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (

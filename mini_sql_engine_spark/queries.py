@@ -2228,8 +2228,8 @@ def filtered_agg(spark, sf_dir):
             F.when(F.col("l_discount") < 0.05,
                    F.col("l_quantity").cast("decimal(18,2)"))
         ).cast("decimal(18,2)").alias("qty_low_disc"),
-        F.bool_and(F.col("l_tax") >= 0).alias("all_taxed"),
-        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        F.bool_and(F.col("l_tax") >= 0).cast("long").alias("all_taxed"),
+        F.bool_or(F.col("l_discount") > 0.09).cast("long").alias("any_deep_disc"),
     )
 
 
@@ -3805,14 +3805,17 @@ def weighted_sample(spark, sf_dir):
     cum = SO.with_running_total(docs, "n_chars", "_h", "doc_id",
                                 alias="_cum")
     total = cum.groupBy().agg(F.sum("n_chars").alias("_w"))
-    stride = (F.col("_w") / F.lit(20)).cast("long")
+    # `div` is true integer division — `/` would go through double and
+    # floor-of-double diverges from the oracle's `//` once cumulative
+    # weights exceed 2^53 (ADVICE r4); exact at any scale this way.
+    stride = F.expr("_w div 20")
     return (
         cum.crossJoin(F.broadcast(total))  # 1-row scalar fan-out
+        .withColumn("_s", stride)
         .select(
             "doc_id", F.col("n_chars").cast("long").alias("weight"),
-            ((F.col("_cum") - F.col("n_chars")) / stride).cast("long")
-            .alias("_b0"),
-            (F.col("_cum") / stride).cast("long").alias("bucket"))
+            F.expr("(_cum - n_chars) div _s").alias("_b0"),
+            F.expr("_cum div _s").alias("bucket"))
         .filter(F.col("_b0") != F.col("bucket"))
         .select("doc_id", "weight", "bucket")
     )
@@ -4406,9 +4409,77 @@ def snapshot_diff(spark, sf_dir):
 # reaches a driver row in bounded rounds with zero reordering risk.
 # Key order never affects semantics; every entry is independent.
 QUERIES: dict[str, QueryFn] = {
-    # — (a) hash-checked round-4 additions: no driver row yet
-    #   (verified MATCH by the round-3 judge re-drive; this rotation
-    #   gets them their real CORRECTNESS_r04 rows) —
+    # ─── ROTATION (round 5): ungreen hash-checked keys first ───
+    # The driver records only the first 50 entries per round, so every
+    # hash-checked key lacking a green CORRECTNESS_r* row sits in a
+    # contiguous prefix here (tests/test_registry.py enforces this).
+    # 63 ungreen > 50 cap: positions 50+ rotate forward next round.
+    # `filtered_agg` leads — r4's sole red row (boolean hash
+    # canonicalization; both sides now CAST to BIGINT).
+    "filtered_agg": filtered_agg,
+    "group_split": group_split,
+    "label_balance": label_balance,
+    "zscore_outliers": zscore_outliers,
+    "winsorize": winsorize,
+    "corr_matrix": corr_matrix,
+    "moments_agg": moments_agg,
+    "explode_outer_toks": explode_outer_toks,
+    "kl_divergence": kl_divergence,
+    "anomaly_mad": anomaly_mad,
+    "boilerplate_strip": boilerplate_strip,
+    "rolling_median": rolling_median,
+    "lm_score": lm_score,
+    "knn_label": knn_label,
+    "nearest_centroid": nearest_centroid,
+    "bm25_score": bm25_score,
+    "inverted_index": inverted_index,
+    "inline_values": inline_values,
+    "safe_cast": safe_cast,
+    "interval_arith": interval_arith,
+    "attribution": attribution,
+    "compact_runs": compact_runs,
+    "bitmap_distinct": bitmap_distinct,
+    "sketch_rollup": sketch_rollup,
+    "setsim_join": setsim_join,
+    "containment_dup": containment_dup,
+    "event_transitions": event_transitions,
+    "twap_agg": twap_agg,
+    "max_concurrency": max_concurrency,
+    "dict_encode": dict_encode,
+    "null_funcs": null_funcs,
+    "pmi_pairs": pmi_pairs,
+    "triangle_count": triangle_count,
+    "nearest_join": nearest_join,
+    "map_funcs": map_funcs,
+    "pivot_multi": pivot_multi,
+    "interval_union": interval_union,
+    "lateral_topn": lateral_topn,
+    "exists_ineq": exists_ineq,
+    "group_by_all": group_by_all,
+    "weighted_sample": weighted_sample,
+    "time_split_leakage": time_split_leakage,
+    "or_join_union": or_join_union,
+    "sample_k_grouped": sample_k_grouped,
+    "burst_detect": burst_detect,
+    "rel_division": rel_division,
+    "streaks": streaks,
+    "mom_growth": mom_growth,
+    "conversion_latency": conversion_latency,
+    "profile_table": profile_table,
+    "simhash_sig": simhash_sig,
+    "adoption_curve": adoption_curve,
+    "pareto_abc": pareto_abc,
+    "rfm_quintiles": rfm_quintiles,
+    "basket_pairs": basket_pairs,
+    "linear_interp": linear_interp,
+    "chi_square_cells": chi_square_cells,
+    "utouch_attribution": utouch_attribution,
+    "cluster_sizes": cluster_sizes,
+    "dau_new_returning": dau_new_returning,
+    "terms_per_lang": terms_per_lang,
+    "event_trigrams": event_trigrams,
+    "snapshot_diff": snapshot_diff,
+    # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,
     "dedup_cc": dedup_cc,
@@ -4432,10 +4503,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_k": sample_k,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
-    # — (a') hash-checked round-5 additions (§2.15): no driver row
-    #   yet either, so they share the front-50 —
     "bitwise_funcs": bitwise_funcs,
-    "filtered_agg": filtered_agg,
     "regr_agg": regr_agg,
     "levenshtein_pairs": levenshtein_pairs,
     "url_normalize": url_normalize,
@@ -4450,10 +4518,6 @@ QUERIES: dict[str, QueryFn] = {
     "percentile_disc": percentile_disc,
     "kv_parse": kv_parse,
     "union_by_name": union_by_name,
-    # — (a'') hash-checked round-6 additions (§2.16): brand new this
-    #   round; with (a)+(a') they fill the front-50 exactly, so every
-    #   hash-checked key without a green artifact row gets its driver
-    #   row in CORRECTNESS_r04 —
     "minhash_sig": minhash_sig,
     "lsh_candidates": lsh_candidates,
     "embed_centroid": embed_centroid,
@@ -4465,98 +4529,6 @@ QUERIES: dict[str, QueryFn] = {
     "share_of_total": share_of_total,
     "ts_funcs": ts_funcs,
     "str_funcs2": str_funcs2,
-    # ——— driver cap boundary (50) ———
-    # — (a''') hash-checked round-7 additions (§2.17): brand new, no
-    #   driver row yet. The 50 keys above also lack rows but are
-    #   older (judge-verified last round) and get their driver rows
-    #   this round; these 12 queue immediately after, keeping all
-    #   ungreen keys a contiguous registry prefix so next round's
-    #   rotation promotes them with zero reordering risk —
-    "group_split": group_split,
-    "label_balance": label_balance,
-    "zscore_outliers": zscore_outliers,
-    "winsorize": winsorize,
-    "corr_matrix": corr_matrix,
-    "moments_agg": moments_agg,
-    "explode_outer_toks": explode_outer_toks,
-    "kl_divergence": kl_divergence,
-    "anomaly_mad": anomaly_mad,
-    "boilerplate_strip": boilerplate_strip,
-    "rolling_median": rolling_median,
-    "lm_score": lm_score,
-    # — (a'''') hash-checked round-8 additions (§2.18): queue after
-    #   the round-7 block, same contiguous-ungreen-prefix rule —
-    "knn_label": knn_label,
-    "nearest_centroid": nearest_centroid,
-    "bm25_score": bm25_score,
-    "inverted_index": inverted_index,
-    "inline_values": inline_values,
-    "safe_cast": safe_cast,
-    "interval_arith": interval_arith,
-    "attribution": attribution,
-    "compact_runs": compact_runs,
-    # — (a''''') hash-checked round-9 additions (§2.19): queue after
-    #   the round-8 block, same contiguous-ungreen-prefix rule —
-    "bitmap_distinct": bitmap_distinct,
-    "sketch_rollup": sketch_rollup,
-    "setsim_join": setsim_join,
-    "containment_dup": containment_dup,
-    "event_transitions": event_transitions,
-    "twap_agg": twap_agg,
-    "max_concurrency": max_concurrency,
-    "dict_encode": dict_encode,
-    "null_funcs": null_funcs,
-    "pmi_pairs": pmi_pairs,
-    # — (a'''''') hash-checked round-10 additions (§2.20): queue
-    #   after the round-9 block, same contiguous-ungreen-prefix rule —
-    "triangle_count": triangle_count,
-    "nearest_join": nearest_join,
-    "map_funcs": map_funcs,
-    "pivot_multi": pivot_multi,
-    "interval_union": interval_union,
-    # — (a''''''') hash-checked round-11 additions (§2.21): queue
-    #   after the round-10 block, same contiguous-ungreen-prefix rule —
-    "lateral_topn": lateral_topn,
-    "exists_ineq": exists_ineq,
-    "group_by_all": group_by_all,
-    "weighted_sample": weighted_sample,
-    "time_split_leakage": time_split_leakage,
-    # — (a'''''''') hash-checked round-12 additions (§2.22): queue
-    #   after the round-11 block, same contiguous-ungreen-prefix rule —
-    "or_join_union": or_join_union,
-    "sample_k_grouped": sample_k_grouped,
-    "burst_detect": burst_detect,
-    "rel_division": rel_division,
-    "streaks": streaks,
-    # — (a''''''''') hash-checked round-13 additions (§2.23): queue
-    #   after the round-12 block, same contiguous-ungreen-prefix rule —
-    "mom_growth": mom_growth,
-    "conversion_latency": conversion_latency,
-    "profile_table": profile_table,
-    "simhash_sig": simhash_sig,
-    # — (a'''''''''') hash-checked round-14 additions (§2.24): queue
-    #   after the round-13 block, same contiguous-ungreen-prefix rule —
-    "adoption_curve": adoption_curve,
-    "pareto_abc": pareto_abc,
-    # — (a''''''''''') hash-checked round-15 additions (§2.25): queue
-    #   after the round-14 block, same contiguous-ungreen-prefix rule —
-    "rfm_quintiles": rfm_quintiles,
-    "basket_pairs": basket_pairs,
-    # — (a'''''''''''') hash-checked round-16 additions (§2.26):
-    #   queue after round-15, same contiguous-ungreen-prefix rule —
-    "linear_interp": linear_interp,
-    "chi_square_cells": chi_square_cells,
-    "utouch_attribution": utouch_attribution,
-    # — (a''''''''''''') hash-checked round-17 additions (§2.27):
-    #   queue after round-16, same contiguous-ungreen-prefix rule —
-    "cluster_sizes": cluster_sizes,
-    "dau_new_returning": dau_new_returning,
-    # — (a'''''''''''''') hash-checked round-18 additions (§2.28):
-    #   queue after round-17, same contiguous-ungreen-prefix rule —
-    "terms_per_lang": terms_per_lang,
-    "event_trigrams": event_trigrams,
-    "snapshot_diff": snapshot_diff,
-    # — stalest green keys (green only in the round-2 artifact) —
     "win_rank": win_rank,
     "win_lag": win_lag,
     "win_running_sum": win_running_sum,
@@ -4568,7 +4540,6 @@ QUERIES: dict[str, QueryFn] = {
     "win_session": win_session,
     "latest_per_key": latest_per_key,
     "json_typed": json_typed,
-    # — r2-green keys that did not fit the front-50 —
     "json_funcs": json_funcs,
     "array_hof": array_hof,
     "group_collect": group_collect,
@@ -4588,7 +4559,6 @@ QUERIES: dict[str, QueryFn] = {
     "q10_returned": q10_returned,
     "q14_promo": q14_promo,
     "q18_large_orders": q18_large_orders,
-    # — green in round 3 (freshest artifact) —
     "arg_max": arg_max,
     "array_funcs": array_funcs,
     "case_when": case_when,
@@ -4639,7 +4609,6 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": pii_scrub,
     "histogram": histogram,
     "repetition_filter": repetition_filter,
-    # — green in rounds 1+2 —
     "scan_table": scan_table,
     "project_cols": project_cols,
     "project_expr": project_expr,
@@ -4659,7 +4628,7 @@ QUERIES: dict[str, QueryFn] = {
     "range_join": range_join,
     "agg_scalar": agg_scalar,
     "stats_agg": stats_agg,
-    # — rows-only keys (no SQL oracle; numpy/pytest oracles) —
+    # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) ───
     "user_ewma": user_ewma,
     "dedup_near": dedup_near,
     "dedup_simhash": dedup_simhash,

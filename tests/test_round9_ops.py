@@ -207,3 +207,110 @@ def test_pmi_pairs_sign_semantics(spark):
         assert r["n_both"] == n_both
         want = math.log(n_both * n / (c1 * c2))
         assert math.isclose(r["pmi"], round(want, 6), abs_tol=1e-6)
+
+
+# ── round-5 hardening gates (VERDICT r4 #4 + ADVICE r4) ─────────
+
+
+def test_gram_cells_constant_size_regardless_of_partitions(spark):
+    """The scale gate on pca_project's driver funnel: however many
+    partitions (→ Arrow batches → Gram partials) feed it, the folded
+    cell table the driver collects is EXACTLY d²+d+1 rows — constant
+    in corpus size, so 100 TB collects the same ~33 KB as sf0.001."""
+    from mini_sql_engine_spark.pipeline import similarity as SIM
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    d = SIM.EMBEDDING_DIM
+    expected = d * d + d + 1
+    for parts in (1, 7):
+        sub = emb.repartition(parts)
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        part_schema = T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ])
+
+        def gp(batches):
+            for pdf in batches:
+                x = np.asarray([np.asarray(v, dtype=np.float64)
+                                for v in pdf["embedding"]])
+                if len(x) == 0:
+                    continue
+                yield pd.DataFrame({
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                })
+
+        partials = sub.select("embedding").mapInPandas(gp, part_schema)
+        assert SIM.gram_cells(partials).count() == expected
+
+
+def test_pca_projection_invariant_to_partitioning(spark):
+    """Associativity check on the distributed Gram fold: 1-partition
+    and 7-partition layouts give bit-identical projections (the sum
+    per cell is over the same floats; only grouping order differs,
+    and the 6-decimal round absorbs it)."""
+    from mini_sql_engine_spark.pipeline import similarity as SIM
+
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    a = {r["vec_id"]: (r["pc1"], r["pc2"])
+         for r in SIM.pca_project(emb.repartition(1), k=2).collect()}
+    b = {r["vec_id"]: (r["pc1"], r["pc2"])
+         for r in SIM.pca_project(emb.repartition(7), k=2).collect()}
+    assert a.keys() == b.keys() and a
+    for vid in a:
+        assert math.isclose(a[vid][0], b[vid][0], abs_tol=2e-6)
+        assert math.isclose(a[vid][1], b[vid][1], abs_tol=2e-6)
+
+
+def test_pca_project_empty_input_returns_empty_frame(spark):
+    """ADVICE r4: n == 0 must short-circuit (no ZeroDivisionError /
+    np.sum over empty partials) with the projected schema intact."""
+    from pyspark.sql import types as T
+
+    from mini_sql_engine_spark.pipeline import similarity as SIM
+
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]))
+    out = SIM.pca_project(empty, k=3)
+    assert out.columns == ["vec_id", "pc1", "pc2", "pc3"]
+    assert out.count() == 0
+
+
+def test_kmeans_clamps_k_and_survives_zero_vectors(spark):
+    """ADVICE r4: a corpus smaller than k must clamp (no IndexError)
+    and a zero vector must not poison the centroids with NaN."""
+    from pyspark.sql import Row
+
+    from mini_sql_engine_spark.pipeline import similarity as SIM
+
+    rows = [Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0]),   # zero vector
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows)
+    out = SIM.kmeans_assignments(df, k=8, iters=2, train_cap=10)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        assert r["cluster"] is not None
+        assert r["sim"] is None or not math.isnan(r["sim"])
+
+
+def test_kmeans_empty_corpus_returns_empty_frame(spark):
+    from pyspark.sql import types as T
+
+    from mini_sql_engine_spark.pipeline import similarity as SIM
+
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]))
+    out = SIM.kmeans_assignments(empty, k=4)
+    assert out.columns == ["vec_id", "cluster", "sim"]
+    assert out.count() == 0
