@@ -792,6 +792,14 @@ SELECT l_returnflag, count(*) AS n_rows,
 FROM lineitem GROUP BY l_returnflag
 """
 
+ORACLES["winsorize_approx"] = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(1 AS BIGINT) AS ok_lo,
+       CAST(1 AS BIGINT) AS ok_hi,
+       CAST(1 AS BIGINT) AS ok_sum
+FROM lineitem GROUP BY l_returnflag
+"""
+
 ORACLES["q2_min_cost"] = """
 WITH offers AS (
   SELECT p_partkey, p_name, l_suppkey,

@@ -469,7 +469,11 @@ def pivot_agg(spark, sf_dir):
 
 def percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation) per group — Spark
-    ``percentile``; DuckDB twin is ``quantile_cont``."""
+    ``percentile``; DuckDB twin is ``quantile_cont``.  AT-SCALE NOTE:
+    exact percentile buffers each group's values in executor memory;
+    the 100 TB path is the mergeable sketch in `percentiles_approx`
+    (same groups, ±2 % certificate) — this form is the small-SF
+    parity witness."""
     li = Catalog(spark, sf_dir).table("lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.5).alias("p50_qty"),
@@ -1207,7 +1211,10 @@ def median_agg(spark, sf_dir):
     """Exact median (continuous-interpolation) per group. Integer
     inputs only: even-count medians land on .0/.5, exactly
     representable, so Spark and DuckDB agree bit-for-bit (double
-    inputs could differ in the last ulp of the interpolation)."""
+    inputs could differ in the last ulp of the interpolation).
+    AT-SCALE NOTE: exact median = exact percentile = per-group value
+    buffering; swap to ``approx_percentile(x, 0.5)`` at 100 TB per
+    the `percentiles_approx` certificate pattern."""
     li = Catalog(spark, sf_dir).table("lineitem")
     return li.groupBy("l_returnflag").agg(
         F.median("l_quantity").alias("med_qty"),
@@ -2783,7 +2790,14 @@ def winsorize(spark, sf_dir):
     two adds in a FIXED order, so the output is engine-deterministic
     without rounding away information. Percentile limits are exact
     interpolated (same parity as the `percentiles` Qkey); limits are
-    tiny and broadcast back onto the fact."""
+    tiny and broadcast back onto the fact.
+
+    AT-SCALE NOTE: exact ``F.percentile`` buffers each group's values
+    in executor memory (the worst 10× scaler in BENCH_SCALE r4 — 3×
+    time for 10× rows). At 100 TB run ``winsorize_approx`` instead:
+    Greenwald-Khanna sketch limits (mergeable, one streaming pass,
+    bounded memory) with an in-plan tolerance certificate. This exact
+    form stays as the small-SF parity witness."""
     li = Catalog(spark, sf_dir).table("lineitem")
     xd = F.col("l_extendedprice").cast("double")
     lim = li.groupBy("l_returnflag").agg(
@@ -2803,6 +2817,63 @@ def winsorize(spark, sf_dir):
          + F.count_if(xd < F.col("lo")).cast("double") * F.min("lo")
          + F.count_if(xd > F.col("hi")).cast("double") * F.min("hi")
          ).alias("winsorized_sum"),
+    )
+
+
+def winsorize_approx(spark, sf_dir):
+    """`winsorize`'s 100 TB form: clip limits from the mergeable
+    Greenwald-Khanna sketch (``approx_percentile``, one streaming
+    pass, bounded executor memory — no per-group value buffering) and
+    a *tolerance certificate* in the `percentiles_approx` style —
+    but stated in RANK space, which is what GK actually guarantees
+    (rank error ≤ n/accuracy = 0.01 % here, value error unbounded in
+    a sparse tail): each sketch limit must land inside the exact
+    [p−0.004, p+0.004] value band, and the sketch-clipped winsorized
+    sum within ±0.5 % of the exact-clipped sum (the clip only moves
+    rows in the two 1 % tails, so the margin is wide). The DuckDB twin
+    asserts the same certificate trivially (1 per group), so the
+    driver hash passes iff the sketch path really is within
+    tolerance — an accuracy contract, not an unverifiable value
+    dump. Exact limits appear ONLY inside the certificate; the
+    production plan is sketch-only."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    xd = F.col("l_extendedprice").cast("double")
+    lim = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(xd, F.lit(0.01), F.lit(10_000)).alias("alo"),
+        F.approx_percentile(xd, F.lit(0.99), F.lit(10_000)).alias("ahi"),
+        F.percentile(xd, F.lit(0.01)).alias("elo"),
+        F.percentile(xd, F.lit(0.99)).alias("ehi"),
+        F.percentile(xd, F.lit(0.006)).alias("lo_lb"),
+        F.percentile(xd, F.lit(0.014)).alias("lo_ub"),
+        F.percentile(xd, F.lit(0.986)).alias("hi_lb"),
+        F.percentile(xd, F.lit(0.994)).alias("hi_ub"),
+    )
+    j = li.join(F.broadcast(lim), "l_returnflag")
+
+    def wsum(lo, hi):
+        mid = F.when((xd >= F.col(lo)) & (xd <= F.col(hi)),
+                     F.col("l_extendedprice").cast("decimal(18,2)"))
+        return (F.sum(mid).cast("double")
+                + F.count_if(xd < F.col(lo)).cast("double") * F.min(lo)
+                + F.count_if(xd > F.col(hi)).cast("double") * F.min(hi))
+
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("alo").alias("alo"), F.min("ahi").alias("ahi"),
+        F.min("lo_lb").alias("lo_lb"), F.min("lo_ub").alias("lo_ub"),
+        F.min("hi_lb").alias("hi_lb"), F.min("hi_ub").alias("hi_ub"),
+        wsum("alo", "ahi").alias("asum"),
+        wsum("elo", "ehi").alias("esum"),
+    )
+    banded = lambda a, lb, ub: (F.col(a) >= F.col(lb)) & (  # noqa: E731
+        F.col(a) <= F.col(ub))
+    return agg.select(
+        "l_returnflag", "n_rows",
+        banded("alo", "lo_lb", "lo_ub").cast("long").alias("ok_lo"),
+        banded("ahi", "hi_lb", "hi_ub").cast("long").alias("ok_hi"),
+        (F.abs(F.col("asum") - F.col("esum"))
+         <= F.lit(0.005) * F.abs(F.col("esum")))
+        .cast("long").alias("ok_sum"),
     )
 
 
@@ -4000,7 +4071,11 @@ def conversion_latency(spark, sf_dir):
     latency), summarized as count + exact interpolated p50/p90 on
     integer seconds (the `percentiles`/`median_agg` discipline).  Two
     conditional-min aggregations chained by a user-keyed join — the
-    `funnel` pattern with the timestamps kept."""
+    `funnel` pattern with the timestamps kept.  AT-SCALE NOTE: the
+    final p50/p90 are exact percentiles over the PER-USER latency
+    table (one row per converting user, not per event); if even that
+    is too wide, swap to ``approx_percentile`` per the
+    `percentiles_approx` certificate pattern."""
     ev = Catalog(spark, sf_dir).table("events")
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("_tv")))
@@ -4119,7 +4194,12 @@ def rfm_quintiles(spark, sf_dir):
     = 1 + #(thresholds strictly below the value); recency counts DOWN
     (recent buyers rank high).  All threshold inputs are exact
     (integer days/counts, DECIMAL revenue cast once to double), so
-    both engines classify identically."""
+    both engines classify identically.  AT-SCALE NOTE: the quintile
+    thresholds come from exact percentiles over the PER-CUSTOMER
+    aggregate (already ~orders/|customer| smaller than the fact); at
+    100 TB swap them for ``approx_percentile`` — classification is
+    threshold-comparison either way, and the `percentiles_approx`
+    certificate bounds the threshold drift."""
     o = Catalog(spark, sf_dir).table("orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),
@@ -4479,6 +4559,7 @@ QUERIES: dict[str, QueryFn] = {
     "terms_per_lang": terms_per_lang,
     "event_trigrams": event_trigrams,
     "snapshot_diff": snapshot_diff,
+    "winsorize_approx": winsorize_approx,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

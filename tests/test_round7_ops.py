@@ -191,3 +191,15 @@ def test_rolling_median_first_row_equals_own_value(spark):
                                          - F.col("tp")) > 1e-9)).count()
     assert bad == 0
     assert out.filter(F.col("frame_n") > 5).count() == 0
+
+
+def test_winsorize_approx_certificate_holds(spark):
+    """The sketch path's accuracy contract: every group's approx
+    limits and approx-clipped sum are within tolerance of the exact
+    ones (ok_* all 1), so swapping winsorize → winsorize_approx at
+    scale is a verified substitution, not a hope."""
+    rows = Q.winsorize_approx(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["ok_lo"] == 1 and r["ok_hi"] == 1 and r["ok_sum"] == 1
+               for r in rows)
+    assert all(r["n_rows"] > 0 for r in rows)
