@@ -201,6 +201,69 @@ def run_foreach_batch(df: DataFrame, sink, checkpoint_dir: str) -> None:
     q.awaitTermination()
 
 
+def _rate_ticks_to_events(ticks: DataFrame) -> DataFrame:
+    """Map the rate source's (timestamp, value) ticks onto the events
+    shape the §2.9 window jobs consume — every derived column is a
+    pure function of the monotonically-increasing ``value``, so a
+    batch ``range()`` can reproduce the stream's rows EXACTLY."""
+    return ticks.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            ((F.col("value") % 3) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 7).cast("double").alias("value"),
+    )
+
+
+def stream_rate_events(
+    spark: SparkSession,
+    rows_per_batch: int = 100,
+    start_ms: int = 0,
+    advance_ms: int = 60_000,
+) -> DataFrame:
+    """readStream front door on the built-in ``rate-micro-batch``
+    source — the live-generator twin of ``stream_events``'s file
+    replay, and the one §2.9 source the container can run unbounded
+    (no Kafka broker here; this is the stand-in with the same
+    DataStreamReader surface).
+
+    Deterministic by construction: micro-batch *i* emits values
+    [i·rpb, (i+1)·rpb) all stamped start + i·advance ms, so
+    ``rate_events_batch(n_batches)`` rebuilds the exact rows any
+    prefix of the stream produced — the parity test closes the loop
+    (stream → window agg → memory sink ≡ batch twin → window agg)."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_ms)
+        .option("advanceMillisPerBatch", advance_ms)
+        .load()
+    )
+    return _rate_ticks_to_events(raw)
+
+
+def rate_events_batch(
+    spark: SparkSession,
+    n_batches: int,
+    rows_per_batch: int = 100,
+    start_ms: int = 0,
+    advance_ms: int = 60_000,
+) -> DataFrame:
+    """Batch twin of ``stream_rate_events``: the identical rows the
+    stream's first ``n_batches`` micro-batches emit, from a plain
+    ``range`` — what the parity test aggregates for comparison."""
+    raw = spark.range(n_batches * rows_per_batch).select(
+        F.timestamp_millis(
+            F.lit(start_ms)
+            + F.expr(f"id div {rows_per_batch}") * advance_ms
+        ).alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    return _rate_ticks_to_events(raw)
+
+
 def run_to_memory(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     """Drain a streaming DataFrame with availableNow into a memory sink
     and return the materialized result as a batch DataFrame."""
