@@ -3204,3 +3204,108 @@ SELECT CASE WHEN ha IS NULL THEN 'added'
        CAST(count(*) AS BIGINT) AS n_docs
 FROM j GROUP BY 1
 """
+
+
+# ── round-19 batch: Benford audit, weekday seasonality, MinHash ──
+# ── estimator quality ────────────────────────────────────────────
+
+ORACLES["benford_digits"] = """
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT sum(n_orders) AS t FROM per
+), exp AS (
+  SELECT * FROM (VALUES
+         (1, CAST('0.30103' AS DOUBLE)),
+         (2, CAST('0.176091' AS DOUBLE)),
+         (3, CAST('0.124939' AS DOUBLE)),
+         (4, CAST('0.09691' AS DOUBLE)),
+         (5, CAST('0.079181' AS DOUBLE)),
+         (6, CAST('0.066947' AS DOUBLE)),
+         (7, CAST('0.057992' AS DOUBLE)),
+         (8, CAST('0.051153' AS DOUBLE)),
+         (9, CAST('0.045757' AS DOUBLE)))
+    AS e(digit, benford)
+), shared AS (
+  SELECT p.digit, p.n_orders,
+         CAST(p.n_orders AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+         e.benford
+  FROM per p, tot t JOIN exp e ON e.digit = p.digit
+)
+SELECT digit, CAST(n_orders AS BIGINT) AS n_orders, share, benford,
+       (share - benford) * (share - benford) / benford AS chi_cell
+FROM shared
+"""
+
+ORACLES["dow_seasonality"] = """
+WITH per AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(n) AS t FROM per GROUP BY 1
+)
+SELECT p.event_type, p.dow, CAST(p.n AS BIGINT) AS n_events,
+       7.0 * CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS lift
+FROM per p JOIN tot t USING (event_type)
+"""
+
+ORACLES["minhash_est_quality"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE len(w) >= 3)
+), seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16))
+           AS minhash
+  FROM sh, seeds
+  GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig
+  GROUP BY doc_id, seed // 2
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared_bands
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), est AS (
+  SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         CAST(sum(CASE WHEN sa.minhash = sb.minhash
+                       THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est_sim
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2, 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b,
+       CAST(e.n_shared_bands AS BIGINT) AS n_shared_bands,
+       e.est_sim,
+       coalesce(round(CAST(c.n_common AS DOUBLE)
+                      / (sa.n + sb.n - c.n_common), 6), 0.0) AS jaccard
+FROM est e
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+"""

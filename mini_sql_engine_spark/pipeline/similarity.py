@@ -716,3 +716,108 @@ def kmeans_assignments(embeddings: DataFrame, k: int = 8,
         (-best["_nc"]).cast("long").alias("cluster"),
         best["sim"].alias("sim"),
     )
+
+
+def _pq_train(train: "np.ndarray", m: int, k: int,
+              iters: int) -> "np.ndarray":
+    """L2 Lloyd per subspace on the driver (classic PQ training,
+    Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): codebooks[s] is k × (d/m); seeds are the
+    first k training subvectors (deterministic — the training set is
+    already hash-ordered), empty cells keep their old centroid.
+    O(iters · |train| · k · d) floats on one core; |train| is a
+    fixed cap, so training never scales with the corpus."""
+    import numpy as np
+
+    d = train.shape[1]
+    sub = d // m
+    books = np.empty((m, k, sub))
+    for s in range(m):
+        x = train[:, s * sub:(s + 1) * sub]
+        cent = x[:k].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = x[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def product_quantize(embeddings: DataFrame, m: int = 8, k: int = 16,
+                     iters: int = 5, train_cap: int = 2048,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encoding of the embedding corpus — the
+    memory side of large-scale ANN (FAISS's IndexPQ): d=64 floats
+    (256 B) compress to m=8 one-byte codes + a shared m·k·(d/m)
+    codebook, a 32× shrink that lets a 100 TB embedding table's
+    index live in RAM.  Output per vector: the code array and the
+    reconstruction error — the distortion column is what you watch
+    when choosing (m, k).
+
+    Scale split, same as IVF/k-means here:
+
+    1. **Train on a bounded deterministic sample** — the ≤train_cap
+       vectors with the smallest ``xxhash64(vec_id)``; per-subspace
+       L2 Lloyd on the driver (``_pq_train``).
+    2. **Encode map-side** — codebooks broadcast in the task
+       closure; a vectorized Arrow batch computes all m argmins per
+       vector with one (N, k, sub) numpy broadcast per subspace.
+       Zero shuffle, zero Python-per-row.
+
+    Rows-only contract (float accumulation order): the numpy twin in
+    tests replays train+encode and pins every code and error."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    sample_rows = (
+        embeddings.select(F.col("vec_id").alias("cid"),
+                          F.col(vec_col).alias("cvec"))
+        .withColumn("h", F.xxhash64(F.col("cid")))
+        .orderBy("h", "cid")
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array([r.cvec for r in sample_rows], dtype=np.float64)
+    if len(train) == 0:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("recon_err", T.DoubleType()),
+        ]))
+    k = min(k, len(train))
+    books = _pq_train(train, m, k, iters)
+    d = train.shape[1]
+    sub = d // m
+
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+        T.StructField("recon_err", T.DoubleType()),
+    ])
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            codes = np.empty((len(x), m), dtype=np.int32)
+            err = np.zeros(len(x))
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+                err += d2[np.arange(len(x)), codes[:, s]]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].values,
+                "codes": list(codes),
+                "recon_err": np.round(np.sqrt(err), 6),
+            })
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        encode, out_schema)

@@ -4475,6 +4475,125 @@ def snapshot_diff(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+# ─────────────── §2.29 round-19 additions ───────────────
+
+
+def benford_digits(spark, sf_dir):
+    """Benford first-digit audit of order totals — the forensic
+    data-quality screen (fabricated or truncated monetary data skews
+    off the log curve). First digit via STRING head of the integer
+    part (no log10 in the row path — engine-portable and cheap);
+    expected Benford shares are 8 DRIVER-SIDE literals (one Python
+    ``math.log10`` each), so neither engine's libm is in the hash.
+    ``share`` is an exact bigint/bigint double; the deviation is the
+    same three IEEE ops on identical inputs in both engines. One
+    map-side digit extraction + one 9-row hash agg — nothing here
+    changes at 100 TB."""
+    import math
+
+    o = Catalog(spark, sf_dir).table("orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    per = (o.groupBy(digit.alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n_orders")))
+    total = per.groupBy().agg(F.sum("n_orders").alias("_t"))
+    expected = F.element_at(
+        F.array(*[F.lit(round(math.log10(1 + 1 / d), 6))
+                  for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    share = F.col("n_orders").cast("double") / F.col("_t").cast("double")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "digit", F.col("n_orders").cast("long").alias("n_orders"),
+            share.alias("share"),
+            expected.alias("benford"),
+            ((share - expected) * (share - expected) / expected)
+            .alias("chi_cell"),
+        )
+    )
+
+
+def dow_seasonality(spark, sf_dir):
+    """Day-of-week activity profile per event type — the seasonality
+    fingerprint behind traffic forecasting and anomaly baselines.
+    ``lift`` is (7·n)/total: a weekday's volume relative to a flat
+    week, from exact integer counts (bigint/bigint double division —
+    engine-identical). dow is Spark ``dayofweek``−1 == DuckDB
+    ``dayofweek`` (both then 0=Sunday). Two keyed aggs, the second
+    over ≤ 7·|event_type| rows."""
+    ev = Catalog(spark, sf_dir).table("events")
+    per = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_events").alias("_t"))
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "dow",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.lit(7.0) * F.col("n_events") / F.col("_t")).alias("lift"),
+        )
+    )
+
+
+def minhash_est_quality(spark, sf_dir):
+    """The dedup stack's measure-don't-guess step, fully
+    hash-checked: for every banded-LSH candidate pair, the MinHash
+    similarity ESTIMATE (matching signature fraction, k/8 — exact)
+    next to the EXACT n-gram Jaccard, over the same portable md5
+    signatures the `minhash_sig`/`lsh_candidates` twins already
+    pin cross-engine. This is the table you read before picking a
+    dedup threshold: how tight is the estimator on the pairs LSH
+    actually surfaces?
+
+    Plan shape at 100 TB: the estimate join is per-candidate-pair ×
+    8 seeds (candidates are LSH-bucketed, never all-pairs); the
+    exact-Jaccard verify kernel runs on the candidate docs only
+    (shingle sets semi-joined down to them first) — the same
+    candidates-then-verify split `dedup_near` documents."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    cand = DD.lsh_candidates_md5(docs)
+    sigs = DD.minhash_signatures_md5(docs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed",
+                     F.col("minhash").alias("_ma"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed",
+                     F.col("minhash").alias("_mb"))
+    est = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg((F.count_if(F.col("_ma") == F.col("_mb"))
+              / F.lit(8.0)).alias("est_sim"))
+    )
+    # exact-Jaccard verify kernel, restricted to candidate docs
+    cdocs = docs.join(
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b")).distinct(),
+        "doc_id", "semi")
+    exact = DD.ngram_jaccard_pairs(cdocs, n=3, threshold=0.0)
+    return (
+        est.join(exact.withColumnRenamed("jaccard", "_j"),
+                 ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
+            "est_sim",
+            F.coalesce(F.col("_j"), F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def pq_encode(spark, sf_dir):
+    """Product-quantization encode of the embedding corpus (rows-only
+    Qkey; numpy replay oracle in pytest)."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return SIM.product_quantize(emb)
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4560,6 +4679,9 @@ QUERIES: dict[str, QueryFn] = {
     "event_trigrams": event_trigrams,
     "snapshot_diff": snapshot_diff,
     "winsorize_approx": winsorize_approx,
+    "benford_digits": benford_digits,
+    "dow_seasonality": dow_seasonality,
+    "minhash_est_quality": minhash_est_quality,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,
@@ -4725,4 +4847,5 @@ QUERIES: dict[str, QueryFn] = {
     "pca_project": pca_project,
     "kmeans_clusters": kmeans_clusters,
     "dedup_eval": dedup_eval,
+    "pq_encode": pq_encode,
 }

@@ -1,0 +1,104 @@
+"""Semantic tests for the §2.29 round-19 operators: Benford audit
+identities, weekday-lift mass conservation, MinHash-estimator
+quality against the exact Jaccard, and a full numpy replay of the
+product-quantization encode."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mini_sql_engine_spark import queries as Q
+from mini_sql_engine_spark.catalog import Catalog
+from mini_sql_engine_spark.pipeline import similarity as SIM
+
+from tests.conftest import SF_SMOKE
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = Q.benford_digits(spark, SF_SMOKE).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-12)
+    # Benford expectations themselves sum to 1 when all digits appear
+    if len(rows) == 9:
+        assert math.isclose(sum(r["benford"] for r in rows), 1.0,
+                            abs_tol=1e-4)
+    assert all(r["chi_cell"] >= 0 for r in rows)
+
+
+def test_dow_lift_mass_conservation(spark):
+    """Σ_dow lift = 7 per event type exactly when all 7 weekdays
+    appear (lift is 7·share), and every dow is a real weekday."""
+    rows = Q.dow_seasonality(spark, SF_SMOKE).collect()
+    assert all(0 <= r["dow"] <= 6 for r in rows)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, grp in by_type.items():
+        if len(grp) == 7:
+            assert math.isclose(sum(r["lift"] for r in grp), 7.0,
+                                rel_tol=1e-12), et
+
+
+def test_minhash_estimator_tracks_exact_jaccard(spark):
+    """The measure step really measures: candidate pairs are exactly
+    the LSH candidates, est_sim is a multiple of 1/8, and the mean
+    |est − exact| over candidates is within the k=8 standard error
+    (≤ ~2·0.18) — the estimator is unbiased, not garbage."""
+    rows = Q.minhash_est_quality(spark, SF_SMOKE).collect()
+    assert rows
+    from mini_sql_engine_spark.pipeline import dedup as DD
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in DD.lsh_candidates_md5(docs).collect()}
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
+    for r in rows:
+        assert math.isclose(r["est_sim"] * 8, round(r["est_sim"] * 8)), r
+        assert 0.0 <= r["jaccard"] <= 1.0
+    mad = sum(abs(r["est_sim"] - r["jaccard"]) for r in rows) / len(rows)
+    assert mad <= 0.36, f"MinHash estimator off by {mad:.3f} on average"
+
+
+def test_pq_encode_matches_numpy_replay(spark):
+    """Driver-side PQ training + Arrow-batched encode == a pure-numpy
+    replay of the identical subsample, per-subspace Lloyd, and argmin
+    (rows-only Qkey oracle)."""
+    got = {r["vec_id"]: (list(r["codes"]), r["recon_err"])
+           for r in Q.pq_encode(spark, SF_SMOKE).collect()}
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    rows = (emb.select("vec_id", "embedding",
+                       F.xxhash64("vec_id").alias("h"))
+            .orderBy("h", "vec_id").limit(2048).collect())
+    train = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m, k = 8, min(16, len(train))
+    books = SIM._pq_train(train, m, k, 5)
+    sub = train.shape[1] // m
+    all_rows = emb.select("vec_id", "embedding").collect()
+    assert len(got) == len(all_rows)
+    for r in all_rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        codes, err = [], 0.0
+        for s in range(m):
+            d2 = ((books[s] - v[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+            j = int(np.argmin(d2))
+            codes.append(j)
+            err += d2[j]
+        gc, ge = got[r["vec_id"]]
+        assert gc == codes, (r["vec_id"], gc, codes)
+        assert math.isclose(ge, round(math.sqrt(err), 6), abs_tol=2e-6)
+    # compression is useful: codes take 8 small ints, error bounded
+    assert all(0 <= c < k for codes, _ in got.values() for c in codes)
+
+
+def test_pq_empty_corpus_returns_empty_frame(spark):
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]))
+    out = SIM.product_quantize(empty)
+    assert out.columns == ["vec_id", "codes", "recon_err"]
+    assert out.count() == 0
