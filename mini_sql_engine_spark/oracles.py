@@ -3309,3 +3309,83 @@ JOIN sizes sa ON sa.doc_id = e.doc_a
 JOIN sizes sb ON sb.doc_id = e.doc_b
 LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
 """
+
+
+# ── round-19 batch 2: time-series autocorr, cohort LTV, text ─────
+# ── readability, skew diagnosis, Bloom prefilter ─────────────────
+
+ORACLES["autocorr_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(a.n, b.n), 6) AS autocorr
+FROM daily a JOIN daily b ON b.d = a.d + 1
+UNION ALL
+SELECT CAST(7 AS BIGINT), CAST(count(*) AS BIGINT),
+       round(corr(a.n, b.n), 6)
+FROM daily a JOIN daily b ON b.d = a.d + 7
+"""
+
+ORACLES["cohort_revenue"] = """
+WITH om AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(m) AS cohort FROM om GROUP BY 1
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST(datediff('month', cohort, m) AS BIGINT) AS age_months,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(rev) AS DOUBLE) AS revenue
+FROM om JOIN first USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+ORACLES["readability"] = """
+WITH c AS (
+  SELECT doc_id,
+         greatest(1, len(list_filter(string_split(text, ' '),
+                                     t -> t <> ''))) AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+           AS sy
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(sy AS BIGINT) AS n_syllables,
+       CAST('206.835' AS DOUBLE)
+       - CAST('1.015' AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+       - CAST('84.6' AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+         AS flesch
+FROM c
+"""
+
+ORACLES["heavy_hitters"] = """
+WITH per AS (
+  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS t FROM per
+), top AS (
+  SELECT l_partkey, n FROM per ORDER BY n DESC, l_partkey LIMIT 20
+)
+SELECT l_partkey, CAST(n AS BIGINT) AS n_rows,
+       CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM top, tot
+"""
+
+ORACLES["bloom_prefilter"] = """
+WITH keys AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_probed,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM keys))
+         AS n_true_matches,
+       CAST(1 AS BIGINT) AS ok_no_false_neg,
+       CAST(1 AS BIGINT) AS ok_fp_bounded
+"""

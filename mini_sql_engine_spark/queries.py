@@ -4594,6 +4594,189 @@ def pq_encode(spark, sf_dir):
     return SIM.product_quantize(emb)
 
 
+def autocorr_daily(spark, sf_dir):
+    """Lag-1 and lag-7 autocorrelation of the daily event count — the
+    two numbers that say whether traffic has day-over-day momentum
+    and a weekly cycle (the sanity check before any seasonal model).
+    One event-table agg to day grain; everything after runs on the
+    O(days) series — the lag join, the corr, all post-aggregate.
+    ``corr`` is the same single-pass co-moment form as `stats_agg`;
+    round 6 absorbs accumulation-order noise."""
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"))
+    out = None
+    for lag in (1, 7):
+        b = daily.select(F.date_sub(F.col("d"), lag).alias("d"),
+                         F.col("n").alias("_n_lead"))
+        r = (daily.join(b, "d")
+             .groupBy()
+             .agg(F.lit(lag).cast("long").alias("lag"),
+                  F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                  F.round(F.corr("n", "_n_lead"), 6).alias("autocorr")))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def cohort_revenue(spark, sf_dir):
+    """Cohort LTV curve: customers grouped by first-order month,
+    revenue per (cohort month, months-since-cohort age) — the
+    money-weighted sequel to `retention_cohorts`. Cohort assignment
+    is one per-customer min (broadcast back — the per-customer table
+    is far below order volume); revenue sums are exact DECIMAL. Month
+    age is an integer month diff on month-truncated dates, identical
+    in both engines."""
+    o = Catalog(spark, sf_dir).table("orders")
+    om = o.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        .alias("_m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_rev"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("_m").alias("_cohort"))
+    return (
+        om.join(F.broadcast(first), "o_custkey")
+        .groupBy("_cohort",
+                 F.months_between("_m", "_cohort").cast("long")
+                 .alias("age_months"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+             F.sum("_rev").cast("double").alias("revenue"))
+        .select(F.date_format("_cohort", "yyyy-MM").alias("cohort_month"),
+                "age_months", "n_orders", "revenue")
+    )
+
+
+def readability(spark, sf_dir):
+    """Flesch reading-ease per document — the classic text-quality
+    feature next to `text_quality`'s ratio screens. All three inputs
+    are exact integer regex/token counts (words, sentence enders,
+    vowel-group syllable proxy), the score is three IEEE ops on
+    identical operands in both engines; `greatest(1, ·)` guards the
+    ANSI division. Pure per-row expressions — no shuffle at all."""
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.greatest(F.lit(1), F.size(TX.tokens("text"))).cast("long")
+    sents = F.greatest(
+        F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    ).cast("long")
+    sylls = F.greatest(
+        F.lit(1),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")),
+    ).cast("long")
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+              - F.lit(84.6) * (sylls.cast("double") / words.cast("double")))
+    return d.select(
+        "doc_id", words.alias("n_words"), sents.alias("n_sentences"),
+        sylls.alias("n_syllables"), flesch.alias("flesch"),
+    )
+
+
+def heavy_hitters(spark, sf_dir):
+    """Join-key skew diagnosis: the 20 hottest l_partkey values with
+    their row share — the first thing you pull when a shuffle stage
+    straggles (a key holding >1 % of a 100 TB fact means salting or
+    a skew-join hint). One map-side-combining agg, then top-20 as
+    TakeOrderedAndProject (no global sort); the total is a 1-row
+    broadcast. Deterministic ties: count desc, key asc."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per.groupBy().agg(F.sum("n_rows").alias("_t"))
+    top = (per.orderBy(F.col("n_rows").desc(), F.col("l_partkey"))
+           .limit(20))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey", F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows").cast("double") / F.col("_t").cast("double"))
+            .alias("share"),
+        )
+    )
+
+
+def bloom_prefilter(spark, sf_dir):
+    """Distributed Bloom-filter build + probe in pure JVM
+    expressions — the semi-join pushdown a 100 TB pipeline uses to
+    prune a fact scan before the real join (Spark's own runtime
+    row-group filters do exactly this; here it is a first-class,
+    inspectable operator). Build: the key set's k=5 positions
+    (xxhash64 seeds) fold into m=2^20 bits as 16 Ki 64-bit words via
+    ``bit_or`` — one keyed agg, output is KILOBYTES regardless of
+    corpus size, broadcast to the probe. Probe: each candidate checks
+    its 5 bits against the broadcast words; all-set ⇒ pass.
+
+    Hash-checked via certificate (the filter bits are
+    engine-specific; the GUARANTEES are not): exact n_keys /
+    n_probed / n_true_matches, ok_no_false_neg (a Bloom filter NEVER
+    drops a true member — definitional, and asserted over real bits
+    here), ok_fp_bounded (false-positive rate ≤ 5 %; with m ≈ 150
+    bits/key at sf1 the expected rate is ~4e-5 — the m ≈ 10n sizing
+    rule in the docstring is the at-scale knob)."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c = cat.table("customer")
+    keys = (o.filter(F.col("o_orderdate")
+                     .between("1995-06-01", "1995-06-30"))
+            .select("o_custkey").distinct())
+    nbits, nseeds = 1 << 20, 5
+    seeds = F.sequence(F.lit(0), F.lit(nseeds - 1))
+
+    def positions(col):
+        return F.explode(F.transform(
+            seeds, lambda i: F.pmod(F.xxhash64(col, i), F.lit(nbits))))
+
+    words = (
+        keys.select(positions(F.col("o_custkey")).alias("_pos"))
+        .select(F.expr("_pos div 64").alias("_w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pmod(_pos, 64) AS INT))").alias("_bit"))
+        .groupBy("_w").agg(F.bit_or("_bit").alias("_word"))
+    )
+    probe = (
+        c.select("c_custkey")
+        .select("c_custkey", positions(F.col("c_custkey")).alias("_pos"))
+        .select("c_custkey", F.expr("_pos div 64").alias("_w"),
+                F.pmod("_pos", F.lit(64)).cast("int").alias("_b"))
+        .join(F.broadcast(words), "_w", "left")
+        .groupBy("c_custkey")
+        .agg(F.count_if(
+            F.coalesce(
+                F.expr("shiftright(_word, _b) & CAST(1 AS BIGINT)"),
+                F.lit(0).cast("long")
+            ) == 1).alias("_hits"))
+        .select("c_custkey",
+                (F.col("_hits") == nseeds).alias("_passed"))
+    )
+    truth = c.select("c_custkey").join(
+        keys.select(F.col("o_custkey").alias("c_custkey")), "c_custkey",
+        "semi").withColumn("_member", F.lit(True))
+    summary = (
+        probe.join(truth, "c_custkey", "left")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.count_if(F.col("_member")).alias("n_true_matches"),
+            F.count_if(F.col("_passed")).alias("n_passed"),
+            F.count_if(F.col("_member") & ~F.col("_passed"))
+            .alias("_false_neg"),
+        )
+    )
+    n_keys = keys.groupBy().agg(F.count(F.lit(1)).alias("n_keys"))
+    fp_rate = ((F.col("n_passed") - F.col("n_true_matches")).cast("double")
+               / F.greatest(F.lit(1).cast("long"),
+                            F.col("n_probed") - F.col("n_true_matches"))
+               .cast("double"))
+    return (
+        summary.crossJoin(F.broadcast(n_keys))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_probed").cast("long").alias("n_probed"),
+            F.col("n_true_matches").cast("long").alias("n_true_matches"),
+            (F.col("_false_neg") == 0).cast("long").alias("ok_no_false_neg"),
+            (fp_rate <= 0.05).cast("long").alias("ok_fp_bounded"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4682,6 +4865,11 @@ QUERIES: dict[str, QueryFn] = {
     "benford_digits": benford_digits,
     "dow_seasonality": dow_seasonality,
     "minhash_est_quality": minhash_est_quality,
+    "autocorr_daily": autocorr_daily,
+    "cohort_revenue": cohort_revenue,
+    "readability": readability,
+    "heavy_hitters": heavy_hitters,
+    "bloom_prefilter": bloom_prefilter,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

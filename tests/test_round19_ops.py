@@ -102,3 +102,64 @@ def test_pq_empty_corpus_returns_empty_frame(spark):
     out = SIM.product_quantize(empty)
     assert out.columns == ["vec_id", "codes", "recon_err"]
     assert out.count() == 0
+
+
+def test_autocorr_bounds_and_lags(spark):
+    rows = {r["lag"]: r for r in Q.autocorr_daily(spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 7}
+    for r in rows.values():
+        assert r["n_pairs"] > 0
+        assert -1.0 <= r["autocorr"] <= 1.0
+
+
+def test_cohort_revenue_mass_conservation(spark):
+    """Σ revenue over all (cohort, age) cells == Σ o_totalprice — the
+    cohort pivot must lose no money — and every cohort has an age-0
+    cell (its own first month)."""
+    rows = Q.cohort_revenue(spark, SF_SMOKE).collect()
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    want = o.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double")).collect()[0][0]
+    got = sum(r["revenue"] for r in rows)
+    assert math.isclose(got, want, rel_tol=1e-9)
+    cohorts = {r["cohort_month"] for r in rows}
+    age0 = {r["cohort_month"] for r in rows if r["age_months"] == 0}
+    assert cohorts == age0
+    assert all(r["age_months"] >= 0 for r in rows)
+
+
+def test_readability_score_range(spark):
+    rows = Q.readability(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] >= 1 and r["n_syllables"] >= 1
+        # a syllable proxy can't exceed… nothing hard; but the score
+        # must be below the formula's intercept
+        assert r["flesch"] <= 206.835
+
+
+def test_heavy_hitters_against_manual_top(spark):
+    rows = Q.heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    ns = [r["n_rows"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    want = (li.groupBy("l_partkey").count()
+            .orderBy(F.col("count").desc(), "l_partkey").limit(20)
+            .collect())
+    assert [(r["l_partkey"], r["n_rows"]) for r in rows] == \
+        [(r["l_partkey"], r["count"]) for r in want]
+    total = li.count()
+    for r in rows:
+        assert math.isclose(r["share"], r["n_rows"] / total, rel_tol=1e-12)
+
+
+def test_bloom_prefilter_guarantees(spark):
+    """The two Bloom guarantees over REAL filter bits: zero false
+    negatives (definitional — a member's bits are all set) and a
+    bounded false-positive rate at the m≈150·n sizing used here."""
+    r = Q.bloom_prefilter(spark, SF_SMOKE).collect()[0]
+    assert r["ok_no_false_neg"] == 1
+    assert r["ok_fp_bounded"] == 1
+    assert 0 < r["n_keys"]
+    assert r["n_true_matches"] <= r["n_probed"]
