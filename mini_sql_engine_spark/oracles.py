@@ -3389,3 +3389,50 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
        CAST(1 AS BIGINT) AS ok_no_false_neg,
        CAST(1 AS BIGINT) AS ok_fp_bounded
 """
+
+
+ORACLES["name_blocking_pairs"] = """
+WITH kept AS (
+  SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk
+  FROM part
+  QUALIFY row_number() OVER (PARTITION BY substr(p_name, 1, 4)
+                             ORDER BY p_partkey) <= 50
+)
+SELECT a.blk AS block, a.p_partkey AS partkey_a,
+       b.p_partkey AS partkey_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM kept a
+JOIN kept b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+ORACLES["weighted_median"] = """
+WITH d AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS q,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_qty,
+       min(CASE WHEN 2 * cum >= tot THEN l_extendedprice END)
+         AS w_median
+FROM d GROUP BY l_returnflag
+"""
+
+ORACLES["selfjoin_skew"] = """
+WITH per AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c * c) AS BIGINT) AS selfjoin_rows,
+       CAST(sum(c * c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+         AS skew_factor
+FROM per
+"""

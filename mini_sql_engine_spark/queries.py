@@ -4777,6 +4777,88 @@ def bloom_prefilter(spark, sf_dir):
     )
 
 
+def name_blocking_pairs(spark, sf_dir):
+    """Entity-resolution blocking (the record-linkage front end):
+    candidate pairs only WITHIN a cheap blocking key (name 4-prefix),
+    verified by edit distance ≤ 3 — never all-pairs. Block
+    membership is capped at the 50 lowest part keys per block
+    (`row_number` inside the block), so a block's pair count is
+    ≤ C(50,2) at EVERY scale factor — the audit-sample form; the
+    production form keeps the same plan with a bigger cap and salted
+    blocks. One keyed shuffle to block, pairs expand inside blocks
+    only (same candidates-then-verify split as the LSH dedup
+    stack)."""
+    p = Catalog(spark, sf_dir).table("part")
+    w = Window.partitionBy("_blk").orderBy("p_partkey")
+    kept = (
+        p.select("p_partkey", "p_name",
+                 F.substring("p_name", 1, 4).alias("_blk"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 50)
+        .drop("_rn")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a._blk").alias("block"),
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
+
+
+def weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per group: the smallest price
+    whose running quantity weight reaches half the group total —
+    exact integer threshold arithmetic (2·cum ≥ total, no float
+    midpoint), fully deterministic tie order. Same per-group sort
+    window class as `percentile_disc`; the at-scale swap is a
+    weighted sketch or the `weighted_sample`-style prefix-sum — the
+    exact form is the parity witness."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wp = Window.partitionBy("l_returnflag")
+    d = (li.select("l_returnflag", "l_extendedprice",
+                   "l_orderkey", "l_linenumber",
+                   F.col("l_quantity").cast("long").alias("_q"))
+         .withColumn("_cum", F.sum("_q").over(w))
+         .withColumn("_tot", F.sum("_q").over(wp)))
+    return d.groupBy("l_returnflag").agg(
+        F.max("_tot").alias("total_qty"),
+        F.min(F.when(F.lit(2) * F.col("_cum") >= F.col("_tot"),
+                     F.col("l_extendedprice"))).alias("w_median"),
+    )
+
+
+def selfjoin_skew(spark, sf_dir):
+    """The shuffle-planning statistic Catalyst wishes it had: the
+    exact self-join blow-up of the user_id key — Σc² (the row count a
+    user_id-keyed self-join would produce) against the uniform-key
+    estimate n²/d, whose ratio IS the skew factor (1.0 = perfectly
+    uniform; ≫1 = salt this key before joining at 100 TB). One keyed
+    count agg (map-side partials) + one 1-row fold; the per-key
+    counts never leave the executors."""
+    ev = Catalog(spark, sf_dir).table("events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+    return per.groupBy().agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long")
+        .alias("selfjoin_rows"),
+        (F.sum(F.col("_c") * F.col("_c")).cast("double")
+         * F.count(F.lit(1)).cast("double")
+         / (F.sum("_c").cast("double") * F.sum("_c").cast("double")))
+        .alias("skew_factor"),
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4870,6 +4952,9 @@ QUERIES: dict[str, QueryFn] = {
     "readability": readability,
     "heavy_hitters": heavy_hitters,
     "bloom_prefilter": bloom_prefilter,
+    "name_blocking_pairs": name_blocking_pairs,
+    "weighted_median": weighted_median,
+    "selfjoin_skew": selfjoin_skew,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -163,3 +163,50 @@ def test_bloom_prefilter_guarantees(spark):
     assert r["ok_fp_bounded"] == 1
     assert 0 < r["n_keys"]
     assert r["n_true_matches"] <= r["n_probed"]
+
+
+def test_name_blocking_pairs_capped_and_symmetric_free(spark):
+    """Blocking invariants: every pair shares the block prefix,
+    partkey_a < partkey_b (no mirror dupes), edit distance within
+    the match threshold, and no block exceeds C(50,2) pairs."""
+    rows = Q.name_blocking_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    per_block: dict = {}
+    for r in rows:
+        assert r["partkey_a"] < r["partkey_b"]
+        assert 0 <= r["edit_dist"] <= 3
+        per_block[r["block"]] = per_block.get(r["block"], 0) + 1
+    assert max(per_block.values()) <= 50 * 49 // 2
+
+
+def test_weighted_median_definition(spark):
+    """w_median is the smallest price whose cumulative quantity
+    reaches half the total — checked by direct recomputation."""
+    got = {r["l_returnflag"]: r for r in
+           Q.weighted_median(spark, SF_SMOKE).collect()}
+    li = Catalog(spark, SF_SMOKE).table("lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity").collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], int(r["l_quantity"])))
+    for rf, vals in groups.items():
+        vals.sort()
+        tot = sum(q for _, q in vals)
+        cum = 0
+        for price, qv in vals:
+            cum += qv
+            if 2 * cum >= tot:
+                break
+        assert got[rf]["total_qty"] == tot
+        assert math.isclose(got[rf]["w_median"], price, rel_tol=1e-12), rf
+
+
+def test_selfjoin_skew_equals_actual_selfjoin(spark):
+    """selfjoin_rows really is the self-join cardinality, and the
+    skew factor is ≥ 1 (Cauchy–Schwarz: Σc²·d ≥ (Σc)²)."""
+    r = Q.selfjoin_skew(spark, SF_SMOKE).collect()[0]
+    ev = Catalog(spark, SF_SMOKE).table("events").select("user_id")
+    actual = ev.alias("a").join(ev.alias("b"), "user_id").count()
+    assert r["selfjoin_rows"] == actual
+    assert r["skew_factor"] >= 1.0
