@@ -3436,3 +3436,83 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
          AS skew_factor
 FROM per
 """
+
+
+ORACLES["quality_gate"] = """
+WITH c AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(tk) AS n,
+         len(list_distinct(tk)) AS nd,
+         len(list_filter(tk,
+             t -> list_contains(['the', 'a', 'is', 'of'], t))) AS ns
+  FROM c
+)
+SELECT doc_id,
+       CAST(n < 5 AS BIGINT) AS too_short,
+       CAST((n - nd) * 10 > n * 4 AS BIGINT) AS too_repetitive,
+       CAST(ns * 10 > n * 4 AS BIGINT) AS stopword_skew,
+       CAST(NOT (n < 5) AND NOT ((n - nd) * 10 > n * 4)
+            AND NOT (ns * 10 > n * 4) AS BIGINT) AS keep
+FROM f
+"""
+
+ORACLES["welch_ttest"] = """
+WITH agg AS (
+  SELECT
+    count_if(l_returnflag = 'A') AS n_a,
+    count_if(l_returnflag = 'R') AS n_r,
+    CAST(sum(CASE WHEN l_returnflag = 'A'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      / count_if(l_returnflag = 'A') AS mean_a,
+    CAST(sum(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      / count_if(l_returnflag = 'R') AS mean_r,
+    round(var_samp(CASE WHEN l_returnflag = 'A'
+                   THEN CAST(l_extendedprice AS DOUBLE) END), 6) AS var_a,
+    round(var_samp(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(l_extendedprice AS DOUBLE) END), 6) AS var_r
+  FROM lineitem
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_r AS BIGINT) AS n_r,
+       mean_a, mean_r, var_a, var_r,
+       round((mean_a - mean_r)
+             / sqrt(var_a / n_a + var_r / n_r), 6) AS t_stat,
+       round((var_a / n_a + var_r / n_r) * (var_a / n_a + var_r / n_r)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_r / n_r) * (var_r / n_r) / (n_r - 1)), 2)
+         AS welch_df
+FROM agg
+"""
+
+ORACLES["topn_others"] = """
+WITH per AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+), lab AS (
+  SELECT CASE WHEN row_number() OVER (ORDER BY n DESC, event_type) <= 3
+              THEN event_type ELSE 'other' END AS label, n
+  FROM per
+), tot AS (SELECT sum(n) AS t FROM per)
+SELECT label, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(n) AS DOUBLE) / CAST(max(t) AS DOUBLE) AS share
+FROM lab, tot GROUP BY label
+"""
+
+ORACLES["impute_mean"] = """
+WITH means AS (
+  SELECT c_nationkey,
+         CAST(sum(CASE WHEN c_acctbal >= 0
+                  THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+           / count(CASE WHEN c_acctbal >= 0 THEN 1 END) AS m
+  FROM customer GROUP BY 1
+)
+SELECT c_custkey, c_nationkey,
+       CAST(c_acctbal < 0 AS BIGINT) AS was_null,
+       CASE WHEN c_acctbal >= 0
+            THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+            ELSE m END AS acctbal_filled
+FROM customer JOIN means USING (c_nationkey)
+"""

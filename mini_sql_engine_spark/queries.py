@@ -4876,6 +4876,126 @@ def selfjoin_skew(spark, sf_dir):
     )
 
 
+def quality_gate(spark, sf_dir):
+    """Per-document keep/drop decision with REASON FLAGS — the
+    production filter report in front of `corpus_clean` (which only
+    emits the survivors): every rule is integer-threshold arithmetic
+    (a·10 > b·4 instead of ratio > 0.4 — no float in any decision),
+    so the gate is bit-reproducible on any engine. Pure per-row
+    expressions, zero shuffle; at 100 TB this is a map-only pass
+    whose flags downstream aggs can cube over."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tk = TX.tokens("text")
+
+    def flags(toks):
+        n = F.size(toks)
+        nd = F.size(F.array_distinct(toks))
+        n_stop = F.size(F.filter(
+            toks, lambda t: t.isin("the", "a", "is", "of")))
+        return F.struct(
+            (n < 5).cast("long").alias("too_short"),
+            ((n - nd) * 10 > n * 4).cast("long").alias("too_repetitive"),
+            (n_stop * 10 > n * 4).cast("long").alias("stopword_skew"),
+        )
+
+    from mini_sql_engine_spark.functions.text import bind_once
+    return (
+        d.select("doc_id", bind_once(tk, flags).alias("_f"))
+        .select(
+            "doc_id", "_f.too_short", "_f.too_repetitive",
+            "_f.stopword_skew",
+            ((F.col("_f.too_short") == 0)
+             & (F.col("_f.too_repetitive") == 0)
+             & (F.col("_f.stopword_skew") == 0)).cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+def welch_ttest(spark, sf_dir):
+    """Welch two-sample t-test between return-flag groups A and R on
+    extended price — the A/B readout (unequal variances, no pooled
+    assumption). Means are EXACT (decimal sum / count); variances
+    carry accumulation noise so they are rounded at 6 (the
+    `stats_agg` discipline) and the t statistic and
+    Welch–Satterthwaite df are then derived from the ROUNDED inputs
+    with one fixed IEEE expression tree — bit-identical in both
+    engines. One conditional aggregate over the fact; everything
+    after is 1-row arithmetic."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    xd = F.col("l_extendedprice").cast("double")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    is_a = F.col("l_returnflag") == "A"
+    is_r = F.col("l_returnflag") == "R"
+    agg = li.groupBy().agg(
+        F.count_if(is_a).alias("n_a"),
+        F.count_if(is_r).alias("n_r"),
+        (F.sum(F.when(is_a, dec)).cast("double")
+         / F.count_if(is_a)).alias("mean_a"),
+        (F.sum(F.when(is_r, dec)).cast("double")
+         / F.count_if(is_r)).alias("mean_r"),
+        F.round(F.var_samp(F.when(is_a, xd)), 6).alias("var_a"),
+        F.round(F.var_samp(F.when(is_r, xd)), 6).alias("var_r"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sr = F.col("var_r") / F.col("n_r")
+    t = (F.col("mean_a") - F.col("mean_r")) / F.sqrt(sa + sr)
+    df = ((sa + sr) * (sa + sr)
+          / (sa * sa / (F.col("n_a") - 1) + sr * sr / (F.col("n_r") - 1)))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_r").cast("long").alias("n_r"),
+        "mean_a", "mean_r", "var_a", "var_r",
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+    )
+
+
+def topn_others(spark, sf_dir):
+    """Top-3 event types by volume with everything else folded into
+    an ``other`` bucket — the reporting staple that keeps dashboards
+    stable as the tail churns. The rank runs over the tiny
+    (|event_type|-row) aggregate, never the fact; share is an exact
+    bigint/bigint double."""
+    ev = Catalog(spark, sf_dir).table("events")
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "event_type")
+    lab = (per.withColumn("_rk", F.row_number().over(w))
+           .select(F.when(F.col("_rk") <= 3, F.col("event_type"))
+                   .otherwise("other").alias("label"), "n"))
+    tot = per.groupBy().agg(F.sum("n").alias("_t"))
+    return (
+        lab.groupBy("label").agg(F.sum("n").cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select("label", "n_events",
+                (F.col("n_events").cast("double")
+                 / F.col("_t").cast("double")).alias("share"))
+    )
+
+
+def impute_mean(spark, sf_dir):
+    """Group-mean null imputation — the feature-prep fill: negative
+    account balances are treated as missing and filled with their
+    nation's mean of the OBSERVED balances. The mean is exact
+    (decimal sum / count, one double division) and the per-nation
+    fill table is tiny and broadcast back — a map-side repair at any
+    scale. ``was_null`` keeps the imputation auditable."""
+    c = Catalog(spark, sf_dir).table("customer")
+    obs = F.when(F.col("c_acctbal") >= 0,
+                 F.col("c_acctbal").cast("decimal(18,2)"))
+    means = c.groupBy("c_nationkey").agg(
+        (F.sum(obs).cast("double") / F.count(obs)).alias("_mean"))
+    return (
+        c.join(F.broadcast(means), "c_nationkey")
+        .select(
+            "c_custkey", "c_nationkey",
+            F.isnull(obs).cast("long").alias("was_null"),
+            F.coalesce(obs.cast("double"), F.col("_mean"))
+            .alias("acctbal_filled"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -4972,6 +5092,10 @@ QUERIES: dict[str, QueryFn] = {
     "name_blocking_pairs": name_blocking_pairs,
     "weighted_median": weighted_median,
     "selfjoin_skew": selfjoin_skew,
+    "quality_gate": quality_gate,
+    "welch_ttest": welch_ttest,
+    "topn_others": topn_others,
+    "impute_mean": impute_mean,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -210,3 +210,72 @@ def test_selfjoin_skew_equals_actual_selfjoin(spark):
     actual = ev.alias("a").join(ev.alias("b"), "user_id").count()
     assert r["selfjoin_rows"] == actual
     assert r["skew_factor"] >= 1.0
+
+
+def test_quality_gate_flag_semantics(spark):
+    """keep == no flag raised, and flags agree with direct token
+    recomputation on a sample of documents."""
+    rows = Q.quality_gate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        raised = r["too_short"] or r["too_repetitive"] or r["stopword_skew"]
+        assert r["keep"] == (0 if raised else 1)
+    docs = {r["doc_id"]: r["text"] for r in Catalog(spark, SF_SMOKE)
+            .table("documents").select("doc_id", "text").limit(50).collect()}
+    by_id = {r["doc_id"]: r for r in rows}
+    for did, text in docs.items():
+        tk = [t for t in text.split(" ") if t]
+        n, nd = len(tk), len(set(tk))
+        ns = sum(1 for t in tk if t in ("the", "a", "is", "of"))
+        assert by_id[did]["too_short"] == (1 if n < 5 else 0)
+        assert by_id[did]["too_repetitive"] == (1 if (n - nd) * 10 > n * 4 else 0)
+        assert by_id[did]["stopword_skew"] == (1 if ns * 10 > n * 4 else 0)
+
+
+def test_welch_ttest_matches_scipy_free_formula(spark):
+    """t and df recomputed in python from the emitted moments."""
+    r = Q.welch_ttest(spark, SF_SMOKE).collect()[0]
+    sa, sr = r["var_a"] / r["n_a"], r["var_r"] / r["n_r"]
+    t = (r["mean_a"] - r["mean_r"]) / math.sqrt(sa + sr)
+    df = (sa + sr) ** 2 / (sa * sa / (r["n_a"] - 1)
+                           + sr * sr / (r["n_r"] - 1))
+    assert math.isclose(r["t_stat"], round(t, 6), abs_tol=1e-9)
+    assert math.isclose(r["welch_df"], round(df, 2), abs_tol=1e-6)
+    assert min(r["n_a"], r["n_r"]) > 1
+
+
+def test_topn_others_mass_conservation(spark):
+    rows = Q.topn_others(spark, SF_SMOKE).collect()
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    total = ev.count()
+    assert sum(r["n_events"] for r in rows) == total
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-12)
+    named = [r for r in rows if r["label"] != "other"]
+    assert len(named) <= 3
+    if any(r["label"] == "other" for r in rows):
+        other_n = next(r["n_events"] for r in rows if r["label"] == "other")
+        assert all(r["n_events"] >= 0 for r in named)
+        assert other_n >= 0
+
+
+def test_impute_mean_fills_with_observed_group_mean(spark):
+    rows = Q.impute_mean(spark, SF_SMOKE).collect()
+    c = Catalog(spark, SF_SMOKE).table("customer").collect()
+    assert len(rows) == len(c)
+    obs: dict = {}
+    for r in c:
+        if r["c_acctbal"] >= 0:
+            obs.setdefault(r["c_nationkey"], []).append(
+                float(r["c_acctbal"]))
+    means = {k: sum(v) / len(v) for k, v in obs.items()}
+    by_key = {r["c_custkey"]: r for r in rows}
+    for r in c:
+        got = by_key[r["c_custkey"]]
+        if r["c_acctbal"] >= 0:
+            assert got["was_null"] == 0
+            assert math.isclose(got["acctbal_filled"],
+                                float(r["c_acctbal"]), abs_tol=1e-9)
+        else:
+            assert got["was_null"] == 1
+            assert math.isclose(got["acctbal_filled"],
+                                means[r["c_nationkey"]], rel_tol=1e-9)
