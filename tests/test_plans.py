@@ -716,3 +716,45 @@ def test_terms_per_lang_window_group_limit(spark):
 def test_event_trigrams_take_ordered(spark):
     p = plan(Q.event_trigrams(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p, p
+
+
+# round-19 additions: the 1-row scalar crossJoin (total / n_keys
+# broadcast) is the sanctioned BroadcastNestedLoopJoin shape
+ROUND19_KEYS = [
+    "winsorize_approx", "benford_digits", "dow_seasonality",
+    "minhash_est_quality", "autocorr_daily", "cohort_revenue",
+    "readability", "heavy_hitters", "bloom_prefilter",
+    "name_blocking_pairs", "weighted_median", "selfjoin_skew",
+    "quality_gate", "welch_ttest", "topn_others", "impute_mean",
+]
+ROUND19_SCALAR_NLJ_OK = {"benford_digits", "heavy_hitters",
+                         "bloom_prefilter", "topn_others"}
+# pq_encode is the declared Arrow-batched encode (mapInPandas), so it
+# is exempt from the no-Python sweep the way multimodal/sim keys are
+
+
+def test_round19_shapes_stay_jvm_side_and_hash_joined(spark):
+    for qkey in ROUND19_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: unexpected Python crossing"
+        if qkey not in ROUND19_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
+
+
+def test_heavy_hitters_take_ordered(spark):
+    p = plan(Q.heavy_hitters(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_impute_mean_fill_table_broadcasts(spark):
+    p = plan(Q.impute_mean(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_bloom_probe_join_is_broadcast(spark):
+    """The filter words must reach the probe as a broadcast — a
+    shuffled join would move the fact to 16 Ki rows."""
+    p = plan(Q.bloom_prefilter(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
