@@ -113,6 +113,15 @@ SF1_KEYS = [
     # top-n (WindowGroupLimit), EXISTS with inequality residual,
     # multi-agg pivot, dictionary encode join-back
     "lateral_topn", "exists_ineq", "pivot_multi", "dict_encode",
+    # round-19 shapes on the replicated facts: sketch-certificate
+    # winsorize (must beat exact winsorize's 3× factor), weighted
+    # median (sort window), one-pass Welch moments, TakeOrdered heavy
+    # hitters, Bloom build+probe (constant-size filter), broadcast
+    # mean imputation, capped blocking pairs (cap ⇒ sub-linear),
+    # digit-agg Benford, cohort LTV join-back
+    "winsorize_approx", "weighted_median", "welch_ttest",
+    "heavy_hitters", "bloom_prefilter", "impute_mean",
+    "name_blocking_pairs", "benford_digits", "cohort_revenue",
 ]
 
 
