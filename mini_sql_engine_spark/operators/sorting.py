@@ -109,3 +109,55 @@ def with_running_total(
         .withColumn(alias, F.col("_local") + F.col("_off"))
         .select(*df.columns, alias)
     )
+
+
+def with_grouped_running_total(
+    df: DataFrame, value_col: str, group_cols: list[str],
+    *keys: Column | str, alias: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP inclusive running total under a total order within
+    each group — ``with_running_total`` generalized so that a LOW-
+    cardinality group column (return flag, region, label) does not
+    collapse the sort into one task per group: a plain
+    ``Window.partitionBy(group)`` cumsum gives each group exactly ONE
+    sort task no matter how many executors exist (the 3-group fact
+    table sorts on 3 cores at any scale — the 4.5× factor the 10×
+    series showed for the window form).
+
+    Plan: (1) ``repartitionByRange`` on (group, keys) — a group spans
+    MANY partitions, each sorted slice parallel; (2) per-partition
+    cumsum keyed by (partition id, group); (3) each (partition,
+    group)'s exclusive prefix of earlier partitions' group totals —
+    an O(P·spanning groups) table, broadcast back. For HIGH-
+    cardinality groups each group fits inside one range partition and
+    the offsets table degenerates to zeros (a plain grouped window is
+    equally fine there); this operator earns its exchange when groups
+    are few and huge.
+    """
+    gcols = [F.col(g) for g in group_cols]
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = (
+        df.repartitionByRange(parts, *gcols, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(
+        *cols
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = base.withColumn("_local", F.sum(value_col).over(w_local))
+    totals = base.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_n"))
+    w_off = Window.partitionBy(*group_cols).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", *group_cols, "_off")
+    return (
+        s.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(alias, F.col("_local") + F.col("_off"))
+        .select(*df.columns, alias)
+    )

@@ -279,3 +279,26 @@ def test_impute_mean_fills_with_observed_group_mean(spark):
             assert got["was_null"] == 1
             assert math.isclose(got["acctbal_filled"],
                                 means[r["c_nationkey"]], rel_tol=1e-9)
+
+
+def test_grouped_running_total_equals_window_cumsum(spark):
+    """with_grouped_running_total == the naive per-group window
+    cumsum, bit for bit, on integer weights."""
+    from pyspark.sql.window import Window as W
+
+    from mini_sql_engine_spark.operators import sorting as SO
+
+    li = Catalog(spark, SF_SMOKE).table("lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey",
+        "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
+    got = SO.with_grouped_running_total(
+        li, "q", ["l_returnflag"],
+        "l_extendedprice", "l_orderkey", "l_linenumber", alias="cum")
+    w = (W.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    want = li.withColumn("cum", F.sum("q").over(w))
+    key = ["l_orderkey", "l_linenumber"]
+    a = {tuple(r[k] for k in key): r["cum"] for r in got.collect()}
+    b = {tuple(r[k] for k in key): r["cum"] for r in want.collect()}
+    assert a == b and a
