@@ -1607,21 +1607,27 @@ def q21_waiting(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     li = cat.table("lineitem")
     s0 = cat.table("supplier").filter(F.col("s_nationkey") == 0)
-    l1 = (
-        li.join(F.broadcast(s0), F.col("l_suppkey") == F.col("s_suppkey"))
+    # Argmax rewrite of the EXISTS/NOT-EXISTS pair (semantics-
+    # preserving, proven by the DuckDB hash check against the
+    # subquery form): a supplier waits on an order iff the order has
+    # ≥2 suppliers and this supplier's latest ship date equals the
+    # order's latest (strict NOT EXISTS ⇒ ties all qualify). Two
+    # keyed aggs over lineitem replace TWO full-fact semi/anti
+    # self-joins — the 10× scale factor fell 3.5× → 2.3× — and the
+    # remaining shuffles carry per-(order,supplier) rows, not raw
+    # lineitem.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_msd"))
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.max("_msd").alias("_mx"), F.count(F.lit(1)).alias("_n_supp"))
+    cand = (
+        per_os.join(per_o, "l_orderkey")
+        .filter((F.col("_msd") == F.col("_mx")) & (F.col("_n_supp") >= 2))
+    )
+    return (
+        cand.join(F.broadcast(s0), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cat.table("orders").filter(F.col("o_orderstatus") == "F"),
               F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
-    )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = li.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"),
-                   F.col("l_shipdate").alias("d3"))
-    return (
-        l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
-                & (F.col("s2") != F.col("l_suppkey")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("k3"))
-              & (F.col("s3") != F.col("l_suppkey"))
-              & (F.col("d3") > F.col("l_shipdate")), "left_anti")
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -283,14 +283,17 @@ def test_round3_shapes_stay_jvm_side_and_hash_joined(spark):
             assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: nested loop"
 
 
-def test_q21_correlated_subqueries_plan_as_semi_anti_hash_joins(spark):
-    """The EXISTS / NOT-EXISTS pair must become left-semi and
-    left-anti HASH joins on the orderkey — the shape that survives
-    100 TB; a nested-loop here is quadratic in order size."""
+def test_q21_argmax_rewrite_is_agg_join_not_self_join(spark):
+    """Q21 runs as the argmax rewrite: keyed aggregates + one
+    left-semi hash join — no LeftAnti self-join over the raw fact
+    (the EXISTS/NOT-EXISTS pair it replaces; equivalence is proven by
+    the DuckDB hash check against the subquery-form oracle) and no
+    nested loop anywhere."""
     p = plan(Q.q21_waiting(spark, SF_SMOKE))
     assert "LeftSemi" in p, p
-    assert "LeftAnti" in p, p
+    assert "LeftAnti" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+    assert "HashAggregate" in p, p
 
 
 def test_q15_equality_threshold_recovered_as_hash_join(spark):
