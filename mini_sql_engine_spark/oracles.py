@@ -3516,3 +3516,111 @@ SELECT c_custkey, c_nationkey,
             ELSE m END AS acctbal_filled
 FROM customer JOIN means USING (c_nationkey)
 """
+
+
+ORACLES["pack_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t
+), packs AS (
+  SELECT (cum - n_tokens) // 512 AS pack_id,
+         count(*) AS docs, sum(n_tokens) AS toks
+  FROM c GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(toks) AS DOUBLE) / count(*) AS avg_fill,
+       CAST(max(docs) AS BIGINT) AS max_docs_per_pack
+FROM packs
+"""
+
+ORACLES["rate_limit_audit"] = """
+WITH per AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_user_days,
+       CAST(count_if(n > 5) AS BIGINT) AS n_violating,
+       CAST(sum(greatest(0, n - 5)) AS BIGINT) AS total_excess
+FROM per GROUP BY day
+"""
+
+ORACLES["dup_threshold_sweep"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+           AS j
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+        >= 0.5
+)
+SELECT t.threshold, CAST(count_if(j >= t.threshold) AS BIGINT) AS n_pairs
+FROM jac, (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS threshold) t
+GROUP BY t.threshold
+"""
+
+ORACLES["funnel_windowed"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOURS
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_view,
+       CAST(count(c.t_click) AS BIGINT) AS n_click_1h,
+       CAST(count(p.t_buy) AS BIGINT) AS n_purchase_24h
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+ORACLES["churn_labels"] = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+)
+SELECT u.user_id, strftime(u.w, '%Y-%m-%d') AS week,
+       CAST(n.user_id IS NULL AS BIGINT) AS churned
+FROM um u
+LEFT JOIN um n ON n.user_id = u.user_id
+              AND n.w = u.w + INTERVAL 7 DAYS
+WHERE u.w < (SELECT max(w) FROM um)
+"""

@@ -5011,6 +5011,132 @@ def impute_mean(spark, sf_dir):
     )
 
 
+def pack_stats(spark, sf_dir):
+    """Packing-efficiency report over `seq_pack`'s layout — the
+    number a pretraining-data owner actually watches (wasted pad
+    tokens = wasted GPU hours): packs, docs/pack, fill. One keyed agg
+    over the pack assignment + a 1-row fold; the prefix-sum beneath
+    is `seq_pack`'s scale-safe distributed form."""
+    from mini_sql_engine_spark.pipeline.packing import pack_sequences
+
+    packed = pack_sequences(Catalog(spark, sf_dir).table("documents"),
+                            max_tokens=512)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum("n_tokens").alias("_toks"))
+    return per_pack.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+        (F.sum("_toks").cast("double") / F.count(F.lit(1)))
+        .alias("avg_fill"),
+        F.max("_docs").cast("long").alias("max_docs_per_pack"),
+    )
+
+
+def rate_limit_audit(spark, sf_dir):
+    """Per-day rate-limit violation audit (cap: 5 events per user per
+    day) — the abuse/quota report, and the batch twin of the
+    streaming per-key quota job. Two keyed aggs: (user, day) counts
+    with map-side partials, then a day-grain fold. `excess` is what a
+    quota enforcer would have dropped."""
+    ev = Catalog(spark, sf_dir).table("events")
+    per = ev.groupBy("user_id", F.to_date("ts").alias("_day")).agg(
+        F.count(F.lit(1)).alias("_n"))
+    return (
+        per.groupBy("_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_user_days"),
+            F.count_if(F.col("_n") > 5).cast("long").alias("n_violating"),
+            F.sum(F.greatest(F.lit(0).cast("long"),
+                             F.col("_n") - 5)).cast("long")
+            .alias("total_excess"),
+        )
+        .select(F.date_format("_day", "yyyy-MM-dd").alias("day"),
+                "n_user_days", "n_violating", "total_excess")
+    )
+
+
+def dup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold tuning table: candidate-pair counts at each
+    Jaccard cutoff from ONE pass over the exact capped pair set (the
+    pair table is computed once; each pair fans out to the 4
+    thresholds it is compared against — a 4× blow-up of an already
+    tiny pair table, not of the corpus). Read next to
+    `minhash_est_quality` before picking `dedup_near`'s threshold."""
+    pairs = DD.ngram_jaccard_pairs_capped(
+        Catalog(spark, sf_dir).table("documents"), n=3, threshold=0.5)
+    th = F.explode(F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8)]))
+    return (
+        pairs.select(th.alias("threshold"), "jaccard")
+        .groupBy("threshold")
+        .agg(F.count_if(F.col("jaccard") >= F.col("threshold"))
+             .cast("long").alias("n_pairs"))
+    )
+
+
+def funnel_windowed(spark, sf_dir):
+    """Time-CONSTRAINED conversion funnel: view → click within 1 hour
+    → purchase within 24 hours of the click — the funnel shape
+    marketing actually specifies (unbounded `funnel` overcounts slow
+    conversions). Same chained conditional-min plan as `funnel`, each
+    stage's frame shrinking, with the window bound as a pure
+    timestamp predicate."""
+    ev = Catalog(spark, sf_dir).table("events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.join(v, "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") > F.col("t_view"))
+                 & (F.col("ts") <= F.col("t_view")
+                    + F.expr("INTERVAL 1 HOUR")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("t_click"))
+                 & (F.col("ts") <= F.col("t_click")
+                    + F.expr("INTERVAL 24 HOURS")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    return (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_view"),
+            F.count("t_click").cast("long").alias("n_click_1h"),
+            F.count("t_buy").cast("long").alias("n_purchase_24h"),
+        )
+    )
+
+
+def churn_labels(spark, sf_dir):
+    """ML churn-label builder: for every active (user, week), did the
+    user go silent the NEXT week? The last observed week is excluded
+    (its label is not yet knowable — the leakage rule
+    `time_split_leakage` audits). Distinct user-weeks (ISO Monday
+    start in both engines), one self-join on (user, week+7d) — both
+    sides the already-tiny week-grain table — and a 1-row max-week
+    broadcast."""
+    ev = Catalog(spark, sf_dir).table("events")
+    um = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("_w")
+    ).distinct()
+    nxt = um.select("user_id", F.date_sub(F.col("_w"), 7).alias("_w"),
+                    F.lit(1).alias("_active_next"))
+    mx = um.groupBy().agg(F.max("_w").alias("_mx"))
+    return (
+        um.join(nxt, ["user_id", "_w"], "left")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("_w") < F.col("_mx"))
+        .select(
+            "user_id",
+            F.date_format("_w", "yyyy-MM-dd").alias("week"),
+            F.when(F.col("_active_next").isNull(), 1).otherwise(0)
+            .cast("long").alias("churned"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5111,6 +5237,11 @@ QUERIES: dict[str, QueryFn] = {
     "welch_ttest": welch_ttest,
     "topn_others": topn_others,
     "impute_mean": impute_mean,
+    "pack_stats": pack_stats,
+    "rate_limit_audit": rate_limit_audit,
+    "dup_threshold_sweep": dup_threshold_sweep,
+    "funnel_windowed": funnel_windowed,
+    "churn_labels": churn_labels,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -302,3 +302,72 @@ def test_grouped_running_total_equals_window_cumsum(spark):
     a = {tuple(r[k] for k in key): r["cum"] for r in got.collect()}
     b = {tuple(r[k] for k in key): r["cum"] for r in want.collect()}
     assert a == b and a
+
+
+def test_pack_stats_consistent_with_seq_pack(spark):
+    from mini_sql_engine_spark.pipeline.packing import pack_sequences
+
+    r = Q.pack_stats(spark, SF_SMOKE).collect()[0]
+    packed = pack_sequences(
+        Catalog(spark, SF_SMOKE).table("documents"), max_tokens=512
+    ).collect()
+    assert r["n_docs"] == len(packed)
+    assert r["n_packs"] == len({p["pack_id"] for p in packed})
+    assert r["n_tokens"] == sum(p["n_tokens"] for p in packed)
+    assert math.isclose(r["avg_fill"], r["n_tokens"] / r["n_packs"],
+                        rel_tol=1e-12)
+
+
+def test_rate_limit_audit_excess_definition(spark):
+    rows = Q.rate_limit_audit(spark, SF_SMOKE).collect()
+    assert rows
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    per = (ev.groupBy("user_id", F.to_date("ts").alias("d")).count()
+           .collect())
+    by_day: dict = {}
+    for r in per:
+        d = r["d"].strftime("%Y-%m-%d")
+        st = by_day.setdefault(d, [0, 0, 0])
+        st[0] += 1
+        if r["count"] > 5:
+            st[1] += 1
+            st[2] += r["count"] - 5
+    got = {r["day"]: (r["n_user_days"], r["n_violating"],
+                      r["total_excess"]) for r in rows}
+    assert got == {d: tuple(v) for d, v in by_day.items()}
+
+
+def test_dup_threshold_sweep_monotone(spark):
+    rows = {r["threshold"]: r["n_pairs"]
+            for r in Q.dup_threshold_sweep(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0.5, 0.6, 0.7, 0.8}
+    assert rows[0.5] >= rows[0.6] >= rows[0.7] >= rows[0.8]
+    assert rows[0.5] > 0  # the smoke corpus has near-dups
+
+
+def test_funnel_windowed_tighter_than_unbounded(spark):
+    wr = Q.funnel_windowed(spark, SF_SMOKE).collect()[0]
+    ub = Q.funnel(spark, SF_SMOKE).collect()[0]
+    assert wr["n_view"] == ub["n_viewed"]
+    assert wr["n_click_1h"] <= ub["n_clicked_after_view"]
+    assert wr["n_purchase_24h"] <= wr["n_click_1h"]
+    assert wr["n_view"] >= wr["n_click_1h"] >= 0
+
+
+def test_churn_labels_weekly_semantics(spark):
+    rows = Q.churn_labels(spark, SF_SMOKE).collect()
+    assert rows
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    um = {(r["user_id"], r["w"]) for r in ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("w")
+    ).distinct().collect()}
+    mx = max(w for _, w in um)
+    import datetime
+    for r in rows[:200]:
+        w = datetime.date.fromisoformat(r["week"])
+        assert w < mx
+        nxt = (r["user_id"], w + datetime.timedelta(days=7))
+        assert r["churned"] == (0 if nxt in um else 1)
+    # every labeled week is pre-max, and both label values occur
+    assert {r["churned"] for r in rows} <= {0, 1}
