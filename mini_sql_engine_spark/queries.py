@@ -968,6 +968,13 @@ def sim_ivf(spark, sf_dir):
                         n_cells=32, n_probe=8)
 
 
+def sim_ivfpq(spark, sf_dir):
+    """IVF+PQ approximate top-k (FAISS IndexIVFPQ shape) — rows-only
+    (recall vs brute force and rerank-monotonicity gated in tests)."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    return SIM.ivfpq_topk(e, e.filter(F.col("vec_id") < 10), k=10)
+
+
 def text_stats(spark, sf_dir):
     return TX.text_stats(Catalog(spark, sf_dir).table("documents"), lang="en")
 
@@ -5408,4 +5415,5 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": kmeans_clusters,
     "dedup_eval": dedup_eval,
     "pq_encode": pq_encode,
+    "sim_ivfpq": sim_ivfpq,
 }

@@ -169,3 +169,34 @@ def test_ivf_topk_recall(spark, emb_np):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert abs(r.cosine - exact_scores[key]) < 1e-9
+
+
+def test_ivfpq_recall_and_rerank_monotonicity(spark):
+    """IVF+PQ with exact re-rank must (a) reach usable recall vs
+    brute force at n_probe=8/16 cells, and (b) never do worse than
+    trusting the PQ scores alone (rerank=1 keeps the ADC top-k and
+    merely re-scores it) — the re-rank stage is what buys back the
+    quantization loss."""
+    from pyspark.sql import functions as F
+
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.pipeline import similarity as SIM
+
+    from tests.conftest import SF_SMOKE
+
+    e = Catalog(spark, SF_SMOKE).table("embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in SIM.brute_force_topk(e, q, k=10).collect()}
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in SIM.ivfpq_topk(e, q, k=10).collect()}
+    pq_only = {(r["query_id"], r["neighbor_id"])
+               for r in SIM.ivfpq_topk(e, q, k=10, rerank=1).collect()}
+    r_full = len(bf & full) / len(bf)
+    r_pq = len(bf & pq_only) / len(bf)
+    assert r_full >= 0.6, f"IVFPQ recall {r_full:.2f} too low"
+    assert r_full >= r_pq, (r_full, r_pq)
+    # every query returns a full k and ranks are 1..k
+    from collections import Counter
+    counts = Counter(qid for qid, _ in full)
+    assert all(v == 10 for v in counts.values())
