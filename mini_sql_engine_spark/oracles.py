@@ -3624,3 +3624,40 @@ LEFT JOIN um n ON n.user_id = u.user_id
               AND n.w = u.w + INTERVAL 7 DAYS
 WHERE u.w < (SELECT max(w) FROM um)
 """
+
+
+ORACLES["coverage_90"] = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT lang, t, count(*) AS c FROM tok GROUP BY 1, 2
+), cum AS (
+  SELECT lang, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY c DESC, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY lang) AS tot
+  FROM tf
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(max(tot) AS BIGINT) AS n_tokens,
+       CAST(count_if(10 * (cum - c) < 9 * tot) AS BIGINT)
+         AS n_terms_90pct
+FROM cum GROUP BY lang
+"""
+
+ORACLES["domain_cap"] = """
+WITH r AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count_if(rn <= 15) AS BIGINT) AS n_kept,
+       CAST(count_if(rn > 15) AS BIGINT) AS n_dropped
+FROM r GROUP BY source
+"""

@@ -5144,6 +5144,85 @@ def churn_labels(spark, sf_dir):
     )
 
 
+def coverage_90(spark, sf_dir):
+    """Vocabulary concentration per language: how many distinct terms
+    cover 90 % of the token mass (the head-vs-tail number that sizes
+    vocabularies and spots boilerplate-dominated corpora). The sort
+    and running sum live on the per-(lang, term) AGGREGATE — vocab
+    grain, already orders of magnitude under token volume — so the
+    window is cheap at any corpus size; the raw explode aggregates
+    map-side first. Threshold is integer arithmetic (10·cum ≥
+    9·total), no float in the decision."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tf = (d.select("lang", F.explode(TX.tokens("text")).alias("t"))
+          .groupBy("lang", "t").agg(F.count(F.lit(1)).alias("_c")))
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("_c").desc(), "t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("lang")
+    c = (tf.withColumn("_cum", F.sum("_c").over(w))
+         .withColumn("_tot", F.sum("_c").over(wt)))
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("_tot").cast("long").alias("n_tokens"),
+        F.count_if(F.lit(10) * (F.col("_cum") - F.col("_c"))
+                   < F.lit(9) * F.col("_tot")).cast("long")
+        .alias("n_terms_90pct"),
+    )
+
+
+def domain_cap(spark, sf_dir):
+    """Per-source document cap (the corpus-balance step that stops
+    one crawl domain from dominating training data): keep ≤15 docs
+    per source by content-hash order (deterministic, layout-free),
+    report kept/dropped per source. One keyed row_number window over
+    each source's docs — the same shape `sample_k` uses; at 100 TB
+    the cap bounds every group's retained set regardless of skew."""
+    d = Catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    r = d.select("source", "doc_id").withColumn(
+        "_rn", F.row_number().over(w))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("_rn") <= 15).cast("long").alias("n_kept"),
+        F.count_if(F.col("_rn") > 15).cast("long").alias("n_dropped"),
+    )
+
+
+def compress_ratio(spark, sf_dir):
+    """Per-document zlib compression ratio — the Gopher-style
+    quality signal (repetitive/templated text compresses far below
+    natural prose). Arrow-batched `mapInPandas`: one zlib pass per
+    document, ratio = compressed/raw bytes (rows-only Qkey — no SQL
+    twin for zlib; the pytest oracle recomputes with the same
+    codec). At 100 TB this is the canonical embarrassingly-parallel
+    map pass: no shuffle, Python cost linear in bytes scanned."""
+    import zlib
+
+    import pandas as pd
+
+    d = Catalog(spark, sf_dir).table("documents")
+
+    def ratios(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [len(b) for b in raw],
+                "n_compressed": comp,
+                "ratio": [round(c / max(1, len(b)), 6)
+                          for c, b in zip(comp, raw)],
+            })
+
+    return d.select("doc_id", "text").mapInPandas(
+        ratios,
+        "doc_id long, n_bytes long, n_compressed long, ratio double")
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5249,6 +5328,8 @@ QUERIES: dict[str, QueryFn] = {
     "dup_threshold_sweep": dup_threshold_sweep,
     "funnel_windowed": funnel_windowed,
     "churn_labels": churn_labels,
+    "coverage_90": coverage_90,
+    "domain_cap": domain_cap,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,
@@ -5416,4 +5497,5 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_eval": dedup_eval,
     "pq_encode": pq_encode,
     "sim_ivfpq": sim_ivfpq,
+    "compress_ratio": compress_ratio,
 }

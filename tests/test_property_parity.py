@@ -328,3 +328,37 @@ def test_merge_upsert_matches_dict_semantics(spark, base_rows, upd_rows):
                for r in merge_upsert(base_df, upd_df, keys=["k"],
                                      broadcast_updates=bcast).collect()}
         assert got == expect, f"broadcast_updates={bcast}"
+
+
+# ── grouped distributed prefix-sum property (round 5) ───────────
+
+grouped_rows_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(1, 9)),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=grouped_rows_st, parts=st.integers(1, 5))
+def test_grouped_running_total_matches_python(spark, rows, parts):
+    """with_grouped_running_total on random (group, key, weight)
+    tables == a python per-group cumsum under the same total order,
+    for any partition count (the offsets algebra must be
+    layout-free). Duplicate (g, k) rows get a unique tiebreak id."""
+    from mini_sql_engine_spark.operators import sorting as SO
+
+    data = [(g, k, i, w) for i, (g, k, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, k int, i int, w int")
+    got = {
+        (r["g"], r["k"], r["i"]): r["cum"]
+        for r in SO.with_grouped_running_total(
+            df, "w", ["g"], "k", "i", alias="cum",
+            num_partitions=parts).collect()
+    }
+    want: dict = {}
+    acc: dict = {}
+    for g, k, i, w in sorted(data, key=lambda t: (t[0], t[1], t[2])):
+        acc[g] = acc.get(g, 0) + w
+        want[(g, k, i)] = acc[g]
+    assert got == want

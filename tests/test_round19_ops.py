@@ -371,3 +371,57 @@ def test_churn_labels_weekly_semantics(spark):
         assert r["churned"] == (0 if nxt in um else 1)
     # every labeled week is pre-max, and both label values occur
     assert {r["churned"] for r in rows} <= {0, 1}
+
+
+def test_coverage_90_definition(spark):
+    """n_terms_90pct really is the minimal head reaching 90% of the
+    token mass — recomputed in python per language."""
+    got = {r["lang"]: r for r in Q.coverage_90(spark, SF_SMOKE).collect()}
+    docs = Catalog(spark, SF_SMOKE).table("documents").select(
+        "lang", "text").collect()
+    from collections import Counter
+    per: dict = {}
+    for r in docs:
+        cnt = per.setdefault(r["lang"], Counter())
+        cnt.update(t for t in r["text"].split(" ") if t)
+    for lang, cnt in per.items():
+        tot = sum(cnt.values())
+        freqs = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum, need = 0, 0
+        for _, c in freqs:
+            if 10 * cum < 9 * tot:
+                need += 1
+            cum += c
+        r = got[lang]
+        assert r["n_tokens"] == tot
+        assert r["n_terms"] == len(cnt)
+        assert r["n_terms_90pct"] == need, lang
+        assert r["n_terms_90pct"] <= r["n_terms"]
+
+
+def test_domain_cap_bounds(spark):
+    rows = Q.domain_cap(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] <= 15
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_kept"] == min(15, r["n_docs"])
+
+
+def test_compress_ratio_matches_zlib_replay(spark):
+    import zlib
+
+    rows = Q.compress_ratio(spark, SF_SMOKE).collect()
+    docs = {r["doc_id"]: r["text"] for r in Catalog(spark, SF_SMOKE)
+            .table("documents").select("doc_id", "text").collect()}
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed"] == comp
+        assert math.isclose(r["ratio"], round(comp / max(1, len(raw)), 6),
+                            abs_tol=1e-9)
+    # natural text compresses: most ratios well below 1
+    frac_small = sum(1 for r in rows if r["ratio"] < 0.9) / len(rows)
+    assert frac_small > 0.8
