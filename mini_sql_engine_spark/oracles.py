@@ -3700,3 +3700,43 @@ SELECT CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(absdiff) AS DOUBLE) / count(*) AS mean_abs_diff
 FROM d
 """
+
+
+ORACLES["pareto_frontier"] = """
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+ORACLES["regr_residuals"] = """
+WITH model AS (
+  SELECT l_returnflag,
+         round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                          CAST(l_quantity AS DOUBLE)), 6) AS b,
+         round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+                              CAST(l_quantity AS DOUBLE)), 6) AS a,
+         round(var_samp(CAST(l_extendedprice AS DOUBLE)), 4) AS vy,
+         round(covar_samp(CAST(l_extendedprice AS DOUBLE),
+                          CAST(l_quantity AS DOUBLE)), 4) AS cv,
+         round(var_samp(CAST(l_quantity AS DOUBLE)), 4) AS vx
+  FROM lineitem GROUP BY 1
+), m2 AS (
+  SELECT l_returnflag, a, b,
+         round(2 * sqrt(greatest(0.0, vy - 2 * b * cv + b * b * vx)), 4)
+           AS thr
+  FROM model
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(b) AS slope,
+       min(thr) AS outlier_cut,
+       CAST(count_if(abs(CAST(l_extendedprice AS DOUBLE)
+                         - (a + b * CAST(l_quantity AS DOUBLE))) > thr)
+            AS BIGINT) AS n_outliers
+FROM lineitem l JOIN m2 USING (l_returnflag)
+GROUP BY 1
+"""

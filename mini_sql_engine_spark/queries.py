@@ -5285,6 +5285,83 @@ def recon_totals(spark, sf_dir):
     )
 
 
+def pareto_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier) of parts on (retail price ↓,
+    size ↓): a part survives iff no other part is ≤ in both and < in
+    one — the classic SKYLINE operator, done sort-scan style: after
+    ordering by price, domination reduces to two running MINs of
+    size (strictly-cheaper frame via a RANGE frame on integer cents,
+    same-price frame via a partition min), so the whole frontier is
+    one sort + two window passes instead of the oracle's O(n²)
+    NOT-EXISTS. Runs on the part DIMENSION here; at fact scale the
+    same reduction composes with the range-partition prefix-scan
+    (`with_grouped_running_total`'s pattern with MIN — skylines merge
+    associatively)."""
+    p = Catalog(spark, sf_dir).table("part")
+    cents = (F.col("p_retailprice") * 100).cast("long")
+    base = p.select("p_partkey", "p_retailprice", "p_size",
+                    cents.alias("_c"))
+    w_lt = (Window.orderBy("_c")
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = Window.partitionBy("_c")
+    d = (base
+         .withColumn("_min_lt", F.min("p_size").over(w_lt))
+         .withColumn("_min_eq", F.min("p_size").over(w_eq)))
+    return (
+        d.filter(
+            (F.col("_min_lt").isNull()
+             | (F.col("_min_lt") > F.col("p_size")))
+            & (F.col("_min_eq") >= F.col("p_size")))
+        .select("p_partkey", "p_retailprice",
+                F.col("p_size").cast("long").alias("p_size"))
+    )
+
+
+def regr_residuals(spark, sf_dir):
+    """Residual-based outlier screen: fit price ~ quantity per group
+    (single-pass mergeable `regr_slope`/`regr_intercept`, rounded at
+    the declared digit so both engines hold IDENTICAL parameters),
+    broadcast the tiny model table back, and count rows whose
+    absolute residual exceeds 2·stddev — regression-adjusted anomaly
+    detection, the sequel to `zscore_outliers` when the feature has a
+    trend. Two aggregates over the fact + one broadcast join; no
+    window, no sort."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    y, x = F.col("l_extendedprice").cast("double"), \
+        F.col("l_quantity").cast("double")
+    # pass 1: model AND the outlier threshold from the same mergeable
+    # moments — var(resid) = var_y − 2b·cov + b²·var_x (the intercept
+    # only shifts), every component rounded BEFORE combining so both
+    # engines derive the identical cut
+    model = li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("_b"),
+        F.round(F.regr_intercept(y, x), 6).alias("_a"),
+        F.round(F.var_samp(y), 4).alias("_vy"),
+        F.round(F.covar_samp(y, x), 4).alias("_cv"),
+        F.round(F.var_samp(x), 4).alias("_vx"),
+    ).select(
+        "l_returnflag", "_a", "_b",
+        F.round(
+            F.lit(2) * F.sqrt(F.greatest(
+                F.lit(0.0),
+                F.col("_vy") - F.lit(2) * F.col("_b") * F.col("_cv")
+                + F.col("_b") * F.col("_b") * F.col("_vx"))), 4,
+        ).alias("_thr"),
+    )
+    j = li.join(F.broadcast(model), "l_returnflag")
+    resid = y - (F.col("_a") + F.col("_b") * x)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_b").alias("slope"),
+            F.min("_thr").alias("outlier_cut"),
+            F.count_if(F.abs(resid) > F.col("_thr")).cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5394,6 +5471,8 @@ QUERIES: dict[str, QueryFn] = {
     "domain_cap": domain_cap,
     "asof_tolerance": asof_tolerance,
     "recon_totals": recon_totals,
+    "pareto_frontier": pareto_frontier,
+    "regr_residuals": regr_residuals,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

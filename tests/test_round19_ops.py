@@ -475,3 +475,47 @@ def test_recon_totals_decimal_identity(spark):
         o["o_orderkey"] == F.col("l_orderkey"), "semi").count()
     assert 0 <= r["n_mismatch_over_1"] <= r["n_orders"]
     assert r["mean_abs_diff"] >= 0
+
+
+def test_pareto_frontier_is_exact_skyline(spark):
+    """The sort-scan skyline equals the brute-force domination check
+    recomputed in python."""
+    rows = Q.pareto_frontier(spark, SF_SMOKE).collect()
+    parts = Catalog(spark, SF_SMOKE).table("part").select(
+        "p_partkey", "p_retailprice", "p_size").collect()
+    pts = [(float(r["p_retailprice"]), int(r["p_size"]), r["p_partkey"])
+           for r in parts]
+    survivors = set()
+    for pr, sz, key in pts:
+        dominated = any(
+            qr <= pr and qs <= sz and (qr < pr or qs < sz)
+            for qr, qs, _ in pts)
+        if not dominated:
+            survivors.add(key)
+    assert {r["p_partkey"] for r in rows} == survivors
+    assert rows  # non-vacuous
+
+
+def test_regr_residuals_counts_match_replay(spark):
+    """Outlier counts recomputed in python from the emitted model
+    parameters and cut."""
+    got = {r["l_returnflag"]: r
+           for r in Q.regr_residuals(spark, SF_SMOKE).collect()}
+    li = Catalog(spark, SF_SMOKE).table("lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity").collect()
+    import numpy as np2
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (float(r["l_extendedprice"]), float(r["l_quantity"])))
+    for rf, vals in groups.items():
+        y = np2.array([v[0] for v in vals])
+        x = np2.array([v[1] for v in vals])
+        b = round(float(np2.cov(x, y, ddof=1)[0, 1] / np2.var(x, ddof=1)), 6)
+        a = round(float(y.mean() - (np2.cov(x, y, ddof=1)[0, 1]
+                                    / np2.var(x, ddof=1)) * x.mean()), 6)
+        r = got[rf]
+        assert math.isclose(r["slope"], b, abs_tol=2e-6), rf
+        n_out = int((np2.abs(y - (a + b * x)) > r["outlier_cut"]).sum())
+        assert r["n_outliers"] == n_out, rf
+        assert r["n_rows"] == len(vals)
