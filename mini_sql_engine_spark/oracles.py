@@ -3740,3 +3740,71 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN m2 USING (l_returnflag)
 GROUP BY 1
 """
+
+
+ORACLES["join_advisor"] = """
+WITH per AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+), s AS (
+  SELECT sum(n) AS n_left, count(*) AS n_keys, max(n) AS max_key_rows,
+         sum(n * n) AS sq
+  FROM per
+), r AS (
+  SELECT count(*) AS n_right FROM customer
+)
+SELECT CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_key_rows AS BIGINT) AS max_key_rows,
+       CAST(n_right * 120 AS BIGINT) AS est_build_bytes,
+       round(CAST(sq AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / (CAST(n_left AS DOUBLE) * CAST(n_left AS DOUBLE)), 4)
+         AS skew_factor,
+       CASE WHEN n_right * 120 <= 10 * 1024 * 1024 THEN 'broadcast'
+            WHEN CAST(sq AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                 / (CAST(n_left AS DOUBLE) * CAST(n_left AS DOUBLE))
+                 > 4.0 THEN 'shuffle_hash_salted'
+            ELSE 'shuffle_hash' END AS strategy
+FROM s, r
+"""
+
+ORACLES["zipf_alpha"] = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY 1
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk
+  FROM tf ORDER BY c DESC, t LIMIT 1000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(-regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))),
+             4) AS alpha
+FROM top
+"""
+
+ORACLES["corpus_card"] = """
+WITH base AS (
+  SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources, sum(n_chars) AS n_chars,
+         count_if(lang = 'en') AS en
+  FROM documents
+), t AS (
+  SELECT sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+    AS n_tokens
+  FROM documents
+), dup AS (
+  SELECT sum(n - 1) AS n_exact_dups
+  FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS frac_en,
+       CAST(n_exact_dups AS BIGINT) AS n_exact_dups,
+       CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
+FROM base, t, dup
+"""

@@ -5362,6 +5362,101 @@ def regr_residuals(spark, sf_dir):
     )
 
 
+def join_advisor(spark, sf_dir):
+    """Join-strategy advisor for orders ⋈ customer on custkey — the
+    exact statistics a planner wants BEFORE committing a 100 TB
+    shuffle, as a one-row report: side cardinalities, build-side
+    bytes estimate, the key's `selfjoin_skew`-style hot factor, and
+    the strategy the numbers imply (broadcast under the 10 MiB
+    default, else shuffle hash; salt when the skew factor says one
+    reducer would drown). Everything is exact integer arithmetic off
+    two keyed counts — deterministic, hash-checked."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c = cat.table("customer")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    stats = per.groupBy().agg(
+        F.sum("_n").cast("long").alias("n_left"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("_n").cast("long").alias("max_key_rows"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_sq"),
+    )
+    nc = c.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+    # ~120 bytes/row build-side estimate; 10 MiB broadcast default
+    bytes_right = F.col("n_right") * 120
+    skew = (F.col("_sq").cast("double") * F.col("n_keys").cast("double")
+            / (F.col("n_left").cast("double")
+               * F.col("n_left").cast("double")))
+    return (
+        stats.crossJoin(F.broadcast(nc))
+        .select(
+            "n_left", "n_right", "n_keys", "max_key_rows",
+            bytes_right.cast("long").alias("est_build_bytes"),
+            F.round(skew, 4).alias("skew_factor"),
+            F.when(bytes_right <= 10 * 1024 * 1024, "broadcast")
+            .when(skew > 4.0, "shuffle_hash_salted")
+            .otherwise("shuffle_hash").alias("strategy"),
+        )
+    )
+
+
+def zipf_alpha(spark, sf_dir):
+    """Zipf exponent of the corpus vocabulary: slope of
+    ln(freq) ~ ln(rank) over the 1000 most frequent terms — the
+    one-number sanity check that a text corpus is natural language
+    (α ≈ 1) rather than templates or noise. The rank window runs on
+    the VOCAB-grain aggregate truncated to 1000 rows; the regression
+    is a single-pass mergeable `regr_slope` over those 1000 points,
+    rounded at the declared digit."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tf = (d.select(F.explode(TX.tokens("text")).alias("t"))
+          .groupBy("t").agg(F.count(F.lit(1)).alias("_c")))
+    top = (tf.orderBy(F.col("_c").desc(), "t").limit(1000)
+           .withColumn("_rank", F.row_number().over(
+               Window.orderBy(F.col("_c").desc(), "t"))))
+    return top.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            -F.regr_slope(F.log(F.col("_c").cast("double")),
+                          F.log(F.col("_rank").cast("double"))), 4,
+        ).alias("alpha"),
+    )
+
+
+def corpus_card(spark, sf_dir):
+    """One-row DATASET CARD for the documents table — the summary a
+    data release ships: volume, vocabulary-bearing token count,
+    language mix, exact-duplicate rate, length profile. One explode
+    agg for tokens, one text-hash agg for dup rate, two tiny grouped
+    counts — each a single keyed pass; the card composes their 1-row
+    outputs with broadcast crossJoins."""
+    d = Catalog(spark, sf_dir).table("documents")
+    base = d.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.count_if(F.col("lang") == "en").cast("long").alias("_en"),
+    )
+    toks = d.groupBy().agg(
+        F.sum(F.size(TX.tokens("text"))).cast("long").alias("n_tokens"))
+    dups = (d.groupBy(F.md5("text").alias("_h"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy()
+            .agg(F.sum(F.col("_n") - 1).cast("long").alias("n_exact_dups")))
+    return (
+        base.crossJoin(F.broadcast(toks)).crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs", "n_langs", "n_sources", "n_tokens", "n_chars",
+            (F.col("_en").cast("double") / F.col("n_docs").cast("double"))
+            .alias("frac_en"),
+            "n_exact_dups",
+            (F.col("n_chars").cast("double")
+             / F.col("n_docs").cast("double")).alias("mean_chars"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5473,6 +5568,9 @@ QUERIES: dict[str, QueryFn] = {
     "recon_totals": recon_totals,
     "pareto_frontier": pareto_frontier,
     "regr_residuals": regr_residuals,
+    "join_advisor": join_advisor,
+    "zipf_alpha": zipf_alpha,
+    "corpus_card": corpus_card,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

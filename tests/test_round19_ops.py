@@ -519,3 +519,34 @@ def test_regr_residuals_counts_match_replay(spark):
         n_out = int((np2.abs(y - (a + b * x)) > r["outlier_cut"]).sum())
         assert r["n_outliers"] == n_out, rf
         assert r["n_rows"] == len(vals)
+
+
+def test_join_advisor_recommendation_consistency(spark):
+    r = Q.join_advisor(spark, SF_SMOKE).collect()[0]
+    assert r["n_left"] > 0 and r["n_right"] > 0
+    assert r["skew_factor"] >= 1.0  # Cauchy–Schwarz
+    assert r["est_build_bytes"] == r["n_right"] * 120
+    if r["est_build_bytes"] <= 10 * 1024 * 1024:
+        assert r["strategy"] == "broadcast"
+    elif r["skew_factor"] > 4.0:
+        assert r["strategy"] == "shuffle_hash_salted"
+    else:
+        assert r["strategy"] == "shuffle_hash"
+
+
+def test_zipf_alpha_plausible_for_natural_like_text(spark):
+    r = Q.zipf_alpha(spark, SF_SMOKE).collect()[0]
+    assert r["n_terms"] > 10
+    # any real frequency-ranked vocabulary slopes downward
+    assert r["alpha"] > 0
+
+
+def test_corpus_card_internally_consistent(spark):
+    r = Q.corpus_card(spark, SF_SMOKE).collect()[0]
+    d = Catalog(spark, SF_SMOKE).table("documents")
+    assert r["n_docs"] == d.count()
+    assert 0.0 <= r["frac_en"] <= 1.0
+    assert math.isclose(r["mean_chars"], r["n_chars"] / r["n_docs"],
+                        rel_tol=1e-12)
+    assert 0 <= r["n_exact_dups"] < r["n_docs"]
+    assert r["n_tokens"] > 0
