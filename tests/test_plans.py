@@ -729,9 +729,14 @@ ROUND19_KEYS = [
     "readability", "heavy_hitters", "bloom_prefilter",
     "name_blocking_pairs", "weighted_median", "selfjoin_skew",
     "quality_gate", "welch_ttest", "topn_others", "impute_mean",
+    "pack_stats", "rate_limit_audit", "dup_threshold_sweep",
+    "funnel_windowed", "churn_labels", "coverage_90", "domain_cap",
+    "asof_tolerance", "recon_totals", "pareto_frontier",
+    "regr_residuals", "join_advisor", "zipf_alpha", "corpus_card",
 ]
 ROUND19_SCALAR_NLJ_OK = {"benford_digits", "heavy_hitters",
-                         "bloom_prefilter", "topn_others"}
+                         "bloom_prefilter", "topn_others",
+                         "churn_labels", "join_advisor", "corpus_card"}
 # pq_encode is the declared Arrow-batched encode (mapInPandas), so it
 # is exempt from the no-Python sweep the way multimodal/sim keys are
 
