@@ -3504,9 +3504,12 @@ FROM lab, tot GROUP BY label
 ORACLES["impute_mean"] = """
 WITH means AS (
   SELECT c_nationkey,
-         CAST(sum(CASE WHEN c_acctbal >= 0
-                  THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
-           / count(CASE WHEN c_acctbal >= 0 THEN 1 END) AS m
+         CASE WHEN count(CASE WHEN c_acctbal >= 0 THEN 1 END) > 0
+              THEN CAST(sum(CASE WHEN c_acctbal >= 0
+                       THEN CAST(c_acctbal AS DECIMAL(18,2)) END)
+                        AS DOUBLE)
+                   / count(CASE WHEN c_acctbal >= 0 THEN 1 END)
+         END AS m
   FROM customer GROUP BY 1
 )
 SELECT c_custkey, c_nationkey,

@@ -5005,8 +5005,11 @@ def impute_mean(spark, sf_dir):
     c = Catalog(spark, sf_dir).table("customer")
     obs = F.when(F.col("c_acctbal") >= 0,
                  F.col("c_acctbal").cast("decimal(18,2)"))
+    # a nation with NO observed balances gets a NULL mean (its
+    # missing rows stay null) instead of an ANSI divide-by-zero
     means = c.groupBy("c_nationkey").agg(
-        (F.sum(obs).cast("double") / F.count(obs)).alias("_mean"))
+        F.when(F.count(obs) > 0,
+               F.sum(obs).cast("double") / F.count(obs)).alias("_mean"))
     return (
         c.join(F.broadcast(means), "c_nationkey")
         .select(
@@ -5298,7 +5301,11 @@ def pareto_frontier(spark, sf_dir):
     (`with_grouped_running_total`'s pattern with MIN — skylines merge
     associatively)."""
     p = Catalog(spark, sf_dir).table("part")
-    cents = (F.col("p_retailprice") * 100).cast("long")
+    # round, don't truncate: 900.1·100 is 90009.999…; prices are
+    # 0.01-granular so round(x·100) is an exact integer injection and
+    # the RANGE frame's "strictly cheaper" matches the oracle's raw
+    # double comparison at every scale factor
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
     base = p.select("p_partkey", "p_retailprice", "p_size",
                     cents.alias("_c"))
     w_lt = (Window.orderBy("_c")
