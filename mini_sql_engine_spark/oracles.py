@@ -3811,3 +3811,71 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
 FROM base, t, dup
 """
+
+
+ORACLES["scd2_asof"] = """
+WITH hist AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         o_orderdate AS valid_from,
+         coalesce(lead(o_orderdate) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM hist
+WHERE valid_from <= TIMESTAMP '1997-01-01 00:00:00'
+  AND valid_to > TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+ORACLES["dedup_graph_stats"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+        >= 0.6
+), deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT doc_a AS v FROM edges
+        UNION ALL SELECT doc_b FROM edges)
+  GROUP BY 1
+), e AS (SELECT count(*) AS n_edges FROM edges)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(max(e.n_edges) AS BIGINT) AS n_edges,
+       CAST(max(d) AS BIGINT) AS max_degree,
+       CAST(sum(d) AS DOUBLE) / count(*) AS mean_degree
+FROM deg, e
+"""
+
+ORACLES["feature_hashing"] = """
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS t
+      FROM documents)
+GROUP BY 1, 2
+"""

@@ -5464,6 +5464,72 @@ def corpus_card(spark, sf_dir):
     )
 
 
+def scd2_asof(spark, sf_dir):
+    """TIME TRAVEL over the Type-2 dimension: reconstruct each
+    customer's attribute row as of 1997-01-01 — the query every
+    SCD2 layout exists to answer (`scd2_history` builds the
+    intervals; this reads them back). A pure interval-containment
+    filter on the versioned table: one keyed window to build, one
+    map-side predicate to read — no join at all."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    hist = MG.scd2_history(
+        orders, key="o_custkey", change_ts="o_orderdate",
+        attrs=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    )
+    asof = F.lit("1997-01-01").cast("timestamp")
+    return (
+        hist.filter((F.col("valid_from") <= asof)
+                    & (F.col("valid_to") > asof))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def dedup_graph_stats(spark, sf_dir):
+    """Health report of the near-dup similarity GRAPH before running
+    connected components on it — the numbers that catch a broken
+    threshold (a giant hub) or broken shingling (no edges) cheaply:
+    node/edge counts, max and mean degree, and 1-row shape. Degrees
+    come from exploding each capped-Jaccard edge into its two
+    endpoints — one keyed agg on an already-tiny pair table."""
+    pairs = DD.ngram_jaccard_pairs_capped(
+        Catalog(spark, sf_dir).table("documents"), n=3, threshold=0.6)
+    ends = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("_v"))
+    deg = ends.groupBy("_v").agg(F.count(F.lit(1)).alias("_d"))
+    e = pairs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        deg.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.max("_d").cast("long").alias("max_degree"),
+            F.sum("_d").cast("long").alias("_degsum"),
+        )
+        .crossJoin(F.broadcast(e))
+        .select(
+            "n_nodes", "n_edges", "max_degree",
+            (F.col("_degsum").cast("double")
+             / F.col("n_nodes").cast("double")).alias("mean_degree"),
+        )
+    )
+
+
+def feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization (Weinberger et al., ICML'09): each
+    document's tokens fold into 16 count buckets keyed by an
+    ENGINE-PORTABLE hash (first md5 hex digit — lexicographic
+    position arithmetic, so DuckDB replays it exactly; the xxhash64
+    family stays the at-scale default, this is the cross-engine
+    witness). Long output (doc_id, bucket, n) — one explode + one
+    keyed agg with map-side combine, the canonical sparse-feature
+    shape for a downstream estimator."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("_t"))
+    bucket = (F.instr(F.lit("0123456789abcdef"),
+                      F.substring(F.md5(F.col("_t")), 1, 1)) - 1)
+    return (
+        tok.groupBy("doc_id", bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5578,6 +5644,9 @@ QUERIES: dict[str, QueryFn] = {
     "join_advisor": join_advisor,
     "zipf_alpha": zipf_alpha,
     "corpus_card": corpus_card,
+    "scd2_asof": scd2_asof,
+    "dedup_graph_stats": dedup_graph_stats,
+    "feature_hashing": feature_hashing,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -550,3 +550,54 @@ def test_corpus_card_internally_consistent(spark):
                         rel_tol=1e-12)
     assert 0 <= r["n_exact_dups"] < r["n_docs"]
     assert r["n_tokens"] > 0
+
+
+def test_scd2_asof_one_row_per_active_customer(spark):
+    """At any as-of instant each customer has EXACTLY one valid
+    version (intervals partition the timeline), and it is the
+    latest change at or before the instant."""
+    import datetime
+
+    rows = Q.scd2_asof(spark, SF_SMOKE).collect()
+    from collections import Counter
+    per = Counter(r["o_custkey"] for r in rows)
+    assert per and max(per.values()) == 1
+    o = Catalog(spark, SF_SMOKE).table("orders").collect()
+    asof = datetime.datetime(1997, 1, 1)
+    want = {}
+    for r in o:
+        if r["o_orderdate"] <= asof:
+            cur = want.get(r["o_custkey"])
+            cand = (r["o_orderdate"], r["o_orderkey"])
+            if cur is None or cand > cur:
+                want[r["o_custkey"]] = cand
+    got = {r["o_custkey"]: r["o_orderkey"] for r in rows}
+    assert got == {k: v[1] for k, v in want.items()}
+
+
+def test_dedup_graph_stats_consistency(spark):
+    r = Q.dedup_graph_stats(spark, SF_SMOKE).collect()[0]
+    from mini_sql_engine_spark.pipeline import dedup as DD
+    pairs = DD.ngram_jaccard_pairs_capped(
+        Catalog(spark, SF_SMOKE).table("documents"),
+        n=3, threshold=0.6).collect()
+    from collections import Counter
+    deg = Counter()
+    for p in pairs:
+        deg[p["doc_a"]] += 1
+        deg[p["doc_b"]] += 1
+    assert r["n_edges"] == len(pairs)
+    assert r["n_nodes"] == len(deg)
+    assert r["max_degree"] == max(deg.values())
+    assert math.isclose(r["mean_degree"],
+                        2 * len(pairs) / len(deg), rel_tol=1e-12)
+
+
+def test_feature_hashing_mass_and_range(spark):
+    rows = Q.feature_hashing(spark, SF_SMOKE).collect()
+    assert all(0 <= r["bucket"] <= 15 for r in rows)
+    d = Catalog(spark, SF_SMOKE).table("documents").select("text").collect()
+    total = sum(len([t for t in r["text"].split(" ") if t]) for r in d)
+    assert sum(r["n"] for r in rows) == total
+    # the trick spreads: a healthy corpus touches most buckets
+    assert len({r["bucket"] for r in rows}) >= 12
