@@ -733,10 +733,12 @@ ROUND19_KEYS = [
     "funnel_windowed", "churn_labels", "coverage_90", "domain_cap",
     "asof_tolerance", "recon_totals", "pareto_frontier",
     "regr_residuals", "join_advisor", "zipf_alpha", "corpus_card",
+    "scd2_asof", "dedup_graph_stats", "feature_hashing",
 ]
 ROUND19_SCALAR_NLJ_OK = {"benford_digits", "heavy_hitters",
                          "bloom_prefilter", "topn_others",
-                         "churn_labels", "join_advisor", "corpus_card"}
+                         "churn_labels", "join_advisor", "corpus_card",
+                         "dedup_graph_stats"}
 # pq_encode is the declared Arrow-batched encode (mapInPandas), so it
 # is exempt from the no-Python sweep the way multimodal/sim keys are
 
