@@ -3860,12 +3860,15 @@ WITH toks AS (
   FROM (SELECT doc_a AS v FROM edges
         UNION ALL SELECT doc_b FROM edges)
   GROUP BY 1
-), e AS (SELECT count(*) AS n_edges FROM edges)
-SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-       CAST(max(e.n_edges) AS BIGINT) AS n_edges,
-       CAST(max(d) AS BIGINT) AS max_degree,
-       CAST(sum(d) AS DOUBLE) / count(*) AS mean_degree
-FROM deg, e
+)
+-- scalar subqueries, not a deg × e cross join: with ZERO edges the
+-- cross join is empty and max(n_edges) would be NULL while Spark's
+-- aggregate-of-empty emits n_edges=0 — counts must stay counts
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+       (SELECT CAST(sum(d) AS DOUBLE) / count(*) FROM deg)
+         AS mean_degree
 """
 
 ORACLES["feature_hashing"] = """

@@ -309,6 +309,26 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _cell_probes(cent: "np.ndarray", n: int):
+    """Pandas-UDF factory shared by the IVF family: each vector's
+    ``n`` nearest coarse cells by cosine (stable argsort). Zero-norm
+    vectors divide by 1 instead of 0 — they stay zero and probe the
+    argsort's deterministic cell order instead of producing NaNs."""
+    import numpy as np
+
+    @F.pandas_udf("array<int>")
+    def probes(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        vecs = np.array(s.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs /= np.where(nrm > 0, nrm, 1.0)
+        sim = vecs @ cent.T  # (N, n_cells)
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(top.astype(np.int32)))
+    return probes
+
+
 def _kmeans_refine(train: "np.ndarray", cent: "np.ndarray",
                    iters: int) -> "np.ndarray":
     """Lloyd iterations (spherical k-means) on the driver: assign each
@@ -380,27 +400,15 @@ def ivf_topk(
     if kmeans_iters > 0:
         cent = _kmeans_refine(train, cent, kmeans_iters)
 
-    def probe_udf(n: int):
-        @F.pandas_udf("array<int>")
-        def probes(s: pd.Series) -> pd.Series:
-            if len(s) == 0:
-                return pd.Series([], dtype=object)
-            vecs = np.array(s.tolist(), dtype=np.float64)
-            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-            sim = vecs @ cent.T  # (N, n_cells)
-            top = np.argsort(-sim, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(top.astype(np.int32)))
-        return probes
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("c_norm", _norm(F.col("c_vec"))).withColumn(
-        "cell", F.element_at(probe_udf(1)(F.col("c_vec")), 1)
+        "cell", F.element_at(_cell_probes(cent, 1)(F.col("c_vec")), 1)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_norm", _norm(F.col("q_vec"))).withColumn(
-        "cell", F.explode(probe_udf(n_probe)(F.col("q_vec")))
+        "cell", F.explode(_cell_probes(cent, n_probe)(F.col("q_vec")))
     )
     cand = (
         c.join(F.broadcast(q), "cell")
@@ -878,6 +886,15 @@ def ivfpq_topk(
         .collect()
     )
     train = np.array([r.cvec for r in sample_rows], dtype=np.float64)
+    if len(train) == 0:  # empty corpus → empty result, typed schema
+        from pyspark.sql import types as T
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]))
     norms = np.linalg.norm(train, axis=1, keepdims=True)
     train /= np.where(norms > 0, norms, 1.0)
     n_cells = min(n_cells, max(len(train), 1))
@@ -912,24 +929,12 @@ def ivfpq_topk(
 
     enc = corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
-    def probe_udf(n: int):
-        @F.pandas_udf("array<int>")
-        def probes(s: pd.Series) -> pd.Series:
-            if len(s) == 0:
-                return pd.Series([], dtype=object)
-            vecs = np.array(s.tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
-            vecs /= np.where(nrm > 0, nrm, 1.0)
-            sim = vecs @ cent.T
-            top = np.argsort(-sim, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(top.astype(np.int32)))
-        return probes
-
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
         .withColumn("q_norm", _norm(F.col("q_vec")))
-        .withColumn("cell", F.explode(probe_udf(n_probe)(F.col("q_vec"))))
+        .withColumn("cell",
+                    F.explode(_cell_probes(cent, n_probe)(F.col("q_vec"))))
     )
     cand = (
         enc.join(F.broadcast(q), "cell")
@@ -976,15 +981,18 @@ def ivfpq_topk(
              .filter(F.col("_r") <= k * rerank)
              .drop("_r", "_adc"))
 
+    # re-rank: the SHORT list (|Q|·k·rerank rows) broadcasts into the
+    # corpus scan, and the exact norm is computed only on the matched
+    # rows (post-join select) — the raw-vector pass really is
+    # shortlist-sized, matching the docstring's claim
     c_exact = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("c_norm", _norm(F.col("c_vec")))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
-        short.join(c_exact, "neighbor_id")
+        c_exact.join(F.broadcast(short), "neighbor_id")
         .select(
             "query_id", "neighbor_id",
             (_dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+             / (F.col("q_norm") * _norm(F.col("c_vec")))).alias("cosine"),
         )
     )
     return _topk_per_query(scored, k)

@@ -200,3 +200,20 @@ def test_ivfpq_recall_and_rerank_monotonicity(spark):
     from collections import Counter
     counts = Counter(qid for qid, _ in full)
     assert all(v == 10 for v in counts.values())
+
+
+def test_ivfpq_empty_corpus_returns_empty_frame(spark):
+    """The empty-corpus guard the rest of the similarity family got
+    in round 5 applies to IVF+PQ too (review finding): no numpy
+    AxisError, just a typed empty result."""
+    from pyspark.sql import types as T
+
+    from mini_sql_engine_spark.pipeline import similarity as SIM
+
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]))
+    out = SIM.ivfpq_topk(empty, empty, k=5)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert out.count() == 0
