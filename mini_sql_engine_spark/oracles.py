@@ -3882,3 +3882,46 @@ FROM (SELECT doc_id,
       FROM documents)
 GROUP BY 1, 2
 """
+
+
+ORACLES["corpus_drift"] = """
+WITH per AS (
+  SELECT lang,
+         count_if((strpos('0123456789abcdef',
+                          substr(md5(text), 4, 1)) - 1) % 2 = 0) AS a,
+         count_if((strpos('0123456789abcdef',
+                          substr(md5(text), 4, 1)) - 1) % 2 = 1) AS b
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(a) AS ta, sum(b) AS tb FROM per
+)
+SELECT lang,
+       CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+       CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+       CAST(b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+       CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+       - CAST(b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_delta
+FROM per, tot
+"""
+
+ORACLES["mutual_info"] = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), joint AS (
+  SELECT CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1
+              AS BIGINT) AS b,
+         lang, count(*) AS n
+  FROM tok GROUP BY 1, 2
+), mb AS (SELECT b, sum(n) AS nb FROM joint GROUP BY 1),
+ml AS (SELECT lang, sum(n) AS nl FROM joint GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM joint)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(t) AS BIGINT) AS n_tokens,
+       round(sum((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                 * ln(CAST(n AS DOUBLE) * CAST(t AS DOUBLE)
+                      / (CAST(nb AS DOUBLE) * CAST(nl AS DOUBLE)))), 6)
+         AS mi_nats
+FROM joint JOIN mb USING (b) JOIN ml USING (lang), tot
+"""

@@ -5530,6 +5530,73 @@ def feature_hashing(spark, sf_dir):
     )
 
 
+def corpus_drift(spark, sf_dir):
+    """Corpus drift report between two deterministic halves (content-
+    hash split — the stand-in for yesterday's vs today's crawl): per
+    language, document share on each side and the share delta, plus
+    the half totals — the monitoring table that catches a pipeline
+    regression (a language collapsing, a source flooding) before
+    training does. Exact integer counts; shares are bigint/bigint
+    doubles; one grouped agg over a map-side split flag."""
+    d = Catalog(spark, sf_dir).table("documents")
+    # parity of one md5 hex digit — position arithmetic, so the
+    # DuckDB twin replays it exactly (no base-conversion builtin gap)
+    side = ((F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5(F.col("text")), 4, 1)) - 1) % 2)
+    per = (d.select(F.col("lang"), side.alias("_s"))
+           .groupBy("lang")
+           .agg(F.count_if(F.col("_s") == 0).alias("_a"),
+                F.count_if(F.col("_s") == 1).alias("_b")))
+    tot = per.groupBy().agg(F.sum("_a").alias("_ta"),
+                            F.sum("_b").alias("_tb"))
+    share_a = F.col("_a").cast("double") / F.col("_ta").cast("double")
+    share_b = F.col("_b").cast("double") / F.col("_tb").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("_a").cast("long").alias("n_a"),
+            F.col("_b").cast("long").alias("n_b"),
+            share_a.alias("share_a"),
+            share_b.alias("share_b"),
+            (share_a - share_b).alias("share_delta"),
+        )
+    )
+
+
+def mutual_info(spark, sf_dir):
+    """Mutual information between the hashed token-bucket feature and
+    the language label — the classic feature-selection score
+    (does this feature column carry label signal?). Joint counts are
+    one keyed agg over `feature_hashing`'s exploded tokens; marginals
+    are two tiny regroupings of the joint table (bucket×lang grain,
+    ≤ 16·|langs| rows). MI = Σ p(b,l)·ln(p(b,l)·N / (n_b·n_l)),
+    rounded at 6 to absorb libm/accumulation noise (the
+    `kl_divergence` discipline)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("lang", F.explode(TX.tokens("text")).alias("_t"))
+    bucket = (F.instr(F.lit("0123456789abcdef"),
+                      F.substring(F.md5(F.col("_t")), 1, 1)) - 1)
+    joint = (tok.groupBy(bucket.cast("long").alias("_b"), "lang")
+             .agg(F.count(F.lit(1)).alias("_n")))
+    mb = joint.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    ml = joint.groupBy("lang").agg(F.sum("_n").alias("_nl"))
+    tot = joint.groupBy().agg(F.sum("_n").alias("_t"))
+    term = (F.col("_n").cast("double") / F.col("_t").cast("double")) * \
+        F.log(F.col("_n").cast("double") * F.col("_t").cast("double")
+              / (F.col("_nb").cast("double") * F.col("_nl").cast("double")))
+    return (
+        joint.join(mb, "_b").join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("_t").cast("long").alias("n_tokens"),
+            F.round(F.sum(term), 6).alias("mi_nats"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5647,6 +5714,8 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_asof": scd2_asof,
     "dedup_graph_stats": dedup_graph_stats,
     "feature_hashing": feature_hashing,
+    "corpus_drift": corpus_drift,
+    "mutual_info": mutual_info,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

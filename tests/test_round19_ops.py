@@ -601,3 +601,47 @@ def test_feature_hashing_mass_and_range(spark):
     assert sum(r["n"] for r in rows) == total
     # the trick spreads: a healthy corpus touches most buckets
     assert len({r["bucket"] for r in rows}) >= 12
+
+
+def test_corpus_drift_mass_and_split_consistency(spark):
+    rows = Q.corpus_drift(spark, SF_SMOKE).collect()
+    d = Catalog(spark, SF_SMOKE).table("documents")
+    n = d.count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n
+    assert math.isclose(sum(r["share_a"] for r in rows), 1.0, abs_tol=1e-12)
+    assert math.isclose(sum(r["share_b"] for r in rows), 1.0, abs_tol=1e-12)
+    for r in rows:
+        assert math.isclose(r["share_delta"],
+                            r["share_a"] - r["share_b"], abs_tol=1e-15)
+    # hash split is roughly even
+    na = sum(r["n_a"] for r in rows)
+    assert 0.3 < na / n < 0.7
+
+
+def test_mutual_info_nonnegative_and_python_replay(spark):
+    """MI ≥ 0 (Gibbs) and equal to a python replay of the same
+    joint/marginal counts."""
+    r = Q.mutual_info(spark, SF_SMOKE).collect()[0]
+    assert r["mi_nats"] >= 0
+    docs = Catalog(spark, SF_SMOKE).table("documents").select(
+        "lang", "text").collect()
+    import hashlib
+    from collections import Counter
+    joint: Counter = Counter()
+    for row in docs:
+        for t in row["text"].split(" "):
+            if t:
+                b = "0123456789abcdef".index(
+                    hashlib.md5(t.encode()).hexdigest()[0])
+                joint[(b, row["lang"])] += 1
+    n = sum(joint.values())
+    mb: Counter = Counter()
+    ml: Counter = Counter()
+    for (b, lang), c in joint.items():
+        mb[b] += c
+        ml[lang] += c
+    mi = sum((c / n) * math.log(c * n / (mb[b] * ml[lang]))
+             for (b, lang), c in joint.items())
+    assert math.isclose(r["mi_nats"], round(mi, 6), abs_tol=2e-6)
+    assert r["n_tokens"] == n
+    assert r["n_cells"] == len(joint)
