@@ -1744,7 +1744,9 @@ GROUP BY doc_a, doc_b
 
 ORACLES["embed_centroid"] = """
 SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+       round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                           AS DECIMAL(27,10))) AS DOUBLE)
+             / count(*), 4) + 0.0 AS centroid
 FROM (SELECT label, embedding,
              unnest(generate_series(1, len(embedding))) AS i
       FROM embeddings)

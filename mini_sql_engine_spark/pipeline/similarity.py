@@ -476,15 +476,25 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     a per-row generate, no shuffle — then ONE hash aggregate on
     (label, dim) with map-side partials. Output cardinality is
     |labels| × dim regardless of corpus size, so the result is always
-    broadcastable back. Floats are cast to double BEFORE averaging so
-    the oracle (which must do the same) sees identical operands.
+    broadcastable back. Determinism: each float goes
+    double → DECIMAL(27,10) BEFORE the sum, so the cross-row
+    accumulation is EXACT and order-independent (a raw double avg is
+    partial-order-dependent and flipped a round-4 boundary cell
+    between runs at sf0.001); the single double division and round
+    then see identical operands in both engines.
     """
     return (
         embeddings.select(
             "label", F.posexplode("embedding").alias("dim", "v")
         )
         .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+        # + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 = +0.0):
+        # a tiny negative mean rounds to -0.0 whose repr differs from
+        # 0.0 and flips the cross-engine hash (found at sf0.001)
+        .agg((F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(27,10)"))
+            .cast("double") / F.count(F.lit(1)), 4) + F.lit(0.0))
+            .alias("centroid"))
         .select(
             "label", F.col("dim").cast("long").alias("dim"), "centroid"
         )
