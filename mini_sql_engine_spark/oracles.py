@@ -536,8 +536,8 @@ ORACLES["stats_agg"] = """
 SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4) AS sd_qty,
        round(var_samp(l_quantity), 4) AS var_qty,
-       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS covar_qty_price
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1445,9 +1445,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 ORACLES["regr_agg"] = """
 SELECT l_returnflag,
-       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
 FROM lineitem GROUP BY l_returnflag
 """
@@ -1538,7 +1538,7 @@ WITH c AS (
   FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0 AS entropy,
        CAST(sum(c) AS BIGINT) AS n_events
 FROM c GROUP BY user_id
 """
@@ -1767,7 +1767,7 @@ WITH p AS (
 )
 SELECT vec_id,
        round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
-         AS cos_next
+       + 0.0 AS cos_next
 FROM terms
 GROUP BY vec_id
 """
@@ -1934,7 +1934,7 @@ WITH st AS (
 )
 SELECT l_orderkey, l_linenumber, l.l_returnflag,
        round((CAST(l_extendedprice AS DOUBLE) - s1 / n)
-             / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS z
+             / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4) + 0.0 AS z
 FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
 WHERE abs(round((CAST(l_extendedprice AS DOUBLE) - s1 / n)
                 / sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 4)) > 1.6
@@ -1968,9 +1968,9 @@ GROUP BY l.l_returnflag
 
 ORACLES["corr_matrix"] = """
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price,
-       round(corr(l_quantity, l_discount), 5) AS corr_qty_disc,
-       round(corr(l_extendedprice, l_tax), 5) AS corr_price_tax,
+       round(corr(l_quantity, l_extendedprice), 5) + 0.0 AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 5) + 0.0 AS corr_qty_disc,
+       round(corr(l_extendedprice, l_tax), 5) + 0.0 AS corr_price_tax,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag
 """
@@ -1996,8 +1996,8 @@ WITH a AS (
   FROM a
 )
 SELECT l_returnflag,
-       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis,
+       round(m3 / (m2 * sqrt(m2)), 6) + 0.0 AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) + 0.0 AS kurtosis,
        CAST(n AS BIGINT) AS n
 FROM mm
 """
@@ -2030,7 +2030,8 @@ WITH tok AS (
   SELECT CAST(count(*) AS DOUBLE) AS t_c FROM tok
 )
 SELECT source,
-       round(sum((c_sw / t_s) * ln((c_sw / t_s) / (c_w / t_c))), 6) AS kl,
+       round(sum((c_sw / t_s) * ln((c_sw / t_s) / (c_w / t_c))), 6)
+       + 0.0 AS kl,
        CAST(max(t_s) AS BIGINT) AS n_tokens
 FROM st JOIN corp USING (w) CROSS JOIN tot
 GROUP BY source
@@ -2109,7 +2110,7 @@ WITH bg AS (
 )
 SELECT doc_id,
        round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
-         AS avg_logprob,
+       + 0.0 AS avg_logprob,
        CAST(count(*) AS BIGINT) AS n_bigrams
 FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id
@@ -2503,7 +2504,7 @@ WITH ut AS (
 SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
        round(ln(CAST(n_both AS DOUBLE) * CAST(nu.n AS DOUBLE)
                 / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))), 6)
-         AS pmi
+       + 0.0 AS pmi
 FROM pairs, nu
 JOIN marg ma ON ma.event_type = t1
 JOIN marg mb ON mb.event_type = t2
@@ -3321,11 +3322,11 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
 )
 SELECT CAST(1 AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
-       round(corr(a.n, b.n), 6) AS autocorr
+       round(corr(a.n, b.n), 6) + 0.0 AS autocorr
 FROM daily a JOIN daily b ON b.d = a.d + 1
 UNION ALL
 SELECT CAST(7 AS BIGINT), CAST(count(*) AS BIGINT),
-       round(corr(a.n, b.n), 6)
+       round(corr(a.n, b.n), 6) + 0.0
 FROM daily a JOIN daily b ON b.d = a.d + 7
 """
 
@@ -3482,7 +3483,7 @@ WITH agg AS (
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_r AS BIGINT) AS n_r,
        mean_a, mean_r, var_a, var_r,
        round((mean_a - mean_r)
-             / sqrt(var_a / n_a + var_r / n_r), 6) AS t_stat,
+             / sqrt(var_a / n_a + var_r / n_r), 6) + 0.0 AS t_stat,
        round((var_a / n_a + var_r / n_r) * (var_a / n_a + var_r / n_r)
              / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
                 + (var_r / n_r) * (var_r / n_r) / (n_r - 1)), 2)
@@ -3721,7 +3722,7 @@ ORACLES["regr_residuals"] = """
 WITH model AS (
   SELECT l_returnflag,
          round(regr_slope(CAST(l_extendedprice AS DOUBLE),
-                          CAST(l_quantity AS DOUBLE)), 6) AS b,
+                          CAST(l_quantity AS DOUBLE)), 6) + 0.0 AS b,
          round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
                               CAST(l_quantity AS DOUBLE)), 6) AS a,
          round(var_samp(CAST(l_extendedprice AS DOUBLE)), 4) AS vy,
@@ -3785,7 +3786,7 @@ WITH tok AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_terms,
        round(-regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))),
-             4) AS alpha
+             4) + 0.0 AS alpha
 FROM top
 """
 
@@ -3924,6 +3925,6 @@ SELECT CAST(count(*) AS BIGINT) AS n_cells,
        round(sum((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
                  * ln(CAST(n AS DOUBLE) * CAST(t AS DOUBLE)
                       / (CAST(nb AS DOUBLE) * CAST(nl AS DOUBLE)))), 6)
-         AS mi_nats
+       + 0.0 AS mi_nats
 FROM joint JOIN mb USING (b) JOIN ml USING (lang), tot
 """
