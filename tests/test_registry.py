@@ -69,5 +69,7 @@ def test_every_query_key_has_oracle_or_is_declared_rows_only():
 
 def test_registry_is_large_enough_to_need_rotation():
     # guards against an accidental truncation of the registry itself
-    assert len(QUERIES) >= 130
-    assert len(ORACLES) >= 119
+    # (floors trail the actual counts — 264/246 as of round 5 — by a
+    # small margin so a deliberate key retirement doesn't break CI)
+    assert len(QUERIES) >= 260
+    assert len(ORACLES) >= 242
