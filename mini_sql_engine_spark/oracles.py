@@ -3928,3 +3928,22 @@ SELECT CAST(count(*) AS BIGINT) AS n_cells,
        + 0.0 AS mi_nats
 FROM joint JOIN mb USING (b) JOIN ml USING (lang), tot
 """
+
+
+ORACLES["media_manifest"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents
+), c AS (
+  SELECT media_id, text, n,
+         unnest(range(0, greatest(1, CAST(ceil(n / 64.0) AS BIGINT))))
+           AS chunk_id
+  FROM m
+)
+SELECT media_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 64 AS BIGINT) AS offset,
+       CAST(least(64, n - chunk_id * 64) AS BIGINT) AS n_bytes,
+       md5(substr(text, CAST(chunk_id * 64 + 1 AS BIGINT), 64))
+         AS chunk_md5
+FROM c
+"""

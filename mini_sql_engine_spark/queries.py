@@ -5597,6 +5597,42 @@ def mutual_info(spark, sf_dir):
     )
 
 
+def media_manifest(spark, sf_dir):
+    """Content-addressed CHUNK MANIFEST for binary media payloads —
+    the upload/dedup unit of blob storage (rsync/CAS chunking): each
+    payload splits into 64-byte chunks with (offset, length, md5),
+    so identical chunks dedup across media and a resumed upload
+    knows exactly what is missing. Pure JVM expressions over the
+    BINARY column (sequence + explode + substring + md5 — zero
+    Python in the chunk path); at 100 TB this is a map-only pass
+    whose output is the CAS index. Hash-checked: the synthetic
+    payloads are UTF-8 of ASCII text, so the DuckDB twin replays the
+    byte slicing with character arithmetic."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    m = MM.synthesize_media(docs).select("media_id", "payload")
+    n = F.length("payload")
+    return (
+        m.withColumn("_n", n)
+        .select(
+            "media_id", "payload", "_n",
+            F.explode(F.sequence(
+                F.lit(0),
+                F.greatest(F.lit(0),
+                           F.expr("CAST(ceil(_n / 64.0) AS LONG) - 1")),
+            )).alias("chunk_id"),
+        )
+        .select(
+            "media_id",
+            "chunk_id",
+            (F.col("chunk_id") * 64).alias("offset"),
+            F.least(F.lit(64), F.col("_n") - F.col("chunk_id") * 64)
+            .cast("long").alias("n_bytes"),
+            F.md5(F.expr("substring(payload, chunk_id * 64 + 1, 64)"))
+            .alias("chunk_md5"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5716,6 +5752,7 @@ QUERIES: dict[str, QueryFn] = {
     "feature_hashing": feature_hashing,
     "corpus_drift": corpus_drift,
     "mutual_info": mutual_info,
+    "media_manifest": media_manifest,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -645,3 +645,28 @@ def test_mutual_info_nonnegative_and_python_replay(spark):
     assert math.isclose(r["mi_nats"], round(mi, 6), abs_tol=2e-6)
     assert r["n_tokens"] == n
     assert r["n_cells"] == len(joint)
+
+
+def test_media_manifest_chunks_reassemble_and_hash(spark):
+    """Manifest invariants: per media, offsets tile [0, n) with
+    64-byte steps, lengths sum to the payload size, and each chunk
+    md5 equals a hashlib replay over the real payload bytes."""
+    import hashlib
+
+    rows = Q.media_manifest(spark, SF_SMOKE).collect()
+    docs = {r["doc_id"]: r["text"].encode("utf-8")
+            for r in Catalog(spark, SF_SMOKE).table("documents")
+            .select("doc_id", "text").collect()}
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    assert set(per) == set(docs)
+    for mid, chunks in list(per.items())[:100]:
+        payload = docs[mid]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["offset"] for c in chunks] == \
+            [i * 64 for i in range(len(chunks))]
+        assert sum(c["n_bytes"] for c in chunks) == len(payload)
+        for c in chunks:
+            piece = payload[c["offset"]:c["offset"] + 64]
+            assert c["chunk_md5"] == hashlib.md5(piece).hexdigest(), mid
