@@ -734,7 +734,7 @@ ROUND19_KEYS = [
     "asof_tolerance", "recon_totals", "pareto_frontier",
     "regr_residuals", "join_advisor", "zipf_alpha", "corpus_card",
     "scd2_asof", "dedup_graph_stats", "feature_hashing",
-    "corpus_drift", "mutual_info",
+    "corpus_drift", "mutual_info", "media_manifest",
 ]
 ROUND19_SCALAR_NLJ_OK = {"benford_digits", "heavy_hitters",
                          "bloom_prefilter", "topn_others",
