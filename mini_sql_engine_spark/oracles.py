@@ -3947,3 +3947,45 @@ SELECT media_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          AS chunk_md5
 FROM c
 """
+
+
+ORACLES["score_calibration"] = """
+WITH bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i) gs
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), scores AS (
+  SELECT doc_id,
+         round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+         + 0.0 AS s
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+), gate AS (
+  SELECT doc_id,
+         CAST(NOT (n < 5) AND NOT ((n - nd) * 10 > n * 4)
+              AND NOT (ns * 10 > n * 4) AS BIGINT) AS keep
+  FROM (
+    SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+           len(list_filter(tk,
+               t -> list_contains(['the', 'a', 'is', 'of'], t))) AS ns
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents))
+), ranked AS (
+  SELECT s.doc_id, s.s, g.keep,
+         row_number() OVER (ORDER BY s.s, s.doc_id) AS pos,
+         count(*) OVER () AS n
+  FROM scores s JOIN gate g USING (doc_id)
+)
+SELECT CAST((pos - 1) * 10 // n + 1 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate,
+       CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         AS mean_score
+FROM ranked GROUP BY 1
+"""

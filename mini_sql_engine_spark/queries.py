@@ -5633,6 +5633,37 @@ def media_manifest(spark, sf_dir):
     )
 
 
+def score_calibration(spark, sf_dir):
+    """Filter-calibration table: documents bucketed into fluency-score
+    deciles (`lm_score`) against the `quality_gate` keep rate — the
+    eval you read before trusting a learned/heuristic score as a
+    filter (a well-behaved score shows keep-rate rising with the
+    decile). Deciles come from the SCALE-SAFE global rank
+    (`with_rank`: range partition + O(P) offsets — not a single-task
+    ntile window): decile = (pos−1)·10 div n + 1, pure integers.
+    Mean score per decile goes through DECIMAL(18,6) — `lm_score`
+    rounds at 6, so the cast is exact and the cross-row sum
+    order-free."""
+    scores = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    keep = quality_gate(spark, sf_dir).select("doc_id", "keep")
+    j = scores.join(keep, "doc_id")
+    ranked = SO.with_rank(j, "avg_logprob", "doc_id", alias="_pos")
+    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("_dec", F.expr("(_pos - 1) * 10 div _n + 1"))
+        .groupBy(F.col("_dec").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            (F.sum("keep").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("keep_rate"),
+            (F.sum(F.col("avg_logprob").cast("decimal(18,6)"))
+             .cast("double") / F.count(F.lit(1))).alias("mean_score"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5753,6 +5784,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_drift": corpus_drift,
     "mutual_info": mutual_info,
     "media_manifest": media_manifest,
+    "score_calibration": score_calibration,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -670,3 +670,17 @@ def test_media_manifest_chunks_reassemble_and_hash(spark):
         for c in chunks:
             piece = payload[c["offset"]:c["offset"] + 64]
             assert c["chunk_md5"] == hashlib.md5(piece).hexdigest(), mid
+
+
+def test_score_calibration_partitions_docs_into_deciles(spark):
+    rows = Q.score_calibration(spark, SF_SMOKE).collect()
+    assert {r["decile"] for r in rows} == set(range(1, 11))
+    scored = Q.lm_score(spark, SF_SMOKE).count()
+    assert sum(r["n_docs"] for r in rows) == scored
+    sizes = [r["n_docs"] for r in sorted(rows, key=lambda r: r["decile"])]
+    assert max(sizes) - min(sizes) <= 1  # near-equal deciles
+    for r in rows:
+        assert 0.0 <= r["keep_rate"] <= 1.0
+        assert r["n_keep"] <= r["n_docs"]
+    means = [r["mean_score"] for r in sorted(rows, key=lambda r: r["decile"])]
+    assert means == sorted(means)  # deciles ordered by score
