@@ -735,12 +735,13 @@ ROUND19_KEYS = [
     "regr_residuals", "join_advisor", "zipf_alpha", "corpus_card",
     "scd2_asof", "dedup_graph_stats", "feature_hashing",
     "corpus_drift", "mutual_info", "media_manifest",
+    "score_calibration",
 ]
 ROUND19_SCALAR_NLJ_OK = {"benford_digits", "heavy_hitters",
                          "bloom_prefilter", "topn_others",
                          "churn_labels", "join_advisor", "corpus_card",
                          "dedup_graph_stats", "corpus_drift",
-                         "mutual_info"}
+                         "mutual_info", "score_calibration"}
 # pq_encode is the declared Arrow-batched encode (mapInPandas), so it
 # is exempt from the no-Python sweep the way multimodal/sim keys are
 
