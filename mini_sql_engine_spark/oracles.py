@@ -1437,7 +1437,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(count_if(l_quantity > 30) AS BIGINT) AS n_bulk,
        CAST(sum(CASE WHEN l_discount < 0.05
                      THEN CAST(l_quantity AS DECIMAL(18,2)) END)
-            AS DECIMAL(18,2)) AS qty_low_disc,
+            AS DOUBLE) AS qty_low_disc,
        CAST(bool_and(l_tax >= 0) AS BIGINT) AS all_taxed,
        CAST(bool_or(l_discount > 0.09) AS BIGINT) AS any_deep_disc
 FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -2220,7 +2220,7 @@ WITH tf AS (
 SELECT term,
        CAST(count(*) AS BIGINT) AS df,
        CAST(sum(tf) AS BIGINT) AS cf,
-       (list_sort(list(doc_id)))[1:5] AS postings_head
+       array_to_string((list_sort(list(doc_id)))[1:5], ',') AS postings_head
 FROM tf GROUP BY term
 """
 
@@ -2478,7 +2478,7 @@ SELECT o_orderpriority,
          / count(big) AS avg_big,
        min(big) AS min_big,
        CAST(sum(coalesce(CAST(big AS DECIMAL(18,2)),
-                         CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(18,2))
+                         CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
          AS total_big
 FROM (
   SELECT o_orderpriority, o_orderstatus,
@@ -2603,17 +2603,17 @@ SELECT o_orderpriority,
          AS o_cnt,
        CAST(sum(CASE WHEN o_orderstatus = 'O'
                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-            AS DECIMAL(18,2)) AS o_total,
+            AS DOUBLE) AS o_total,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
          AS f_cnt,
        CAST(sum(CASE WHEN o_orderstatus = 'F'
                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-            AS DECIMAL(18,2)) AS f_total,
+            AS DOUBLE) AS f_total,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
          AS p_cnt,
        CAST(sum(CASE WHEN o_orderstatus = 'P'
                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-            AS DECIMAL(18,2)) AS p_total
+            AS DOUBLE) AS p_total
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -2677,7 +2677,7 @@ WHERE EXISTS (
 
 ORACLES["group_by_all"] = """
 SELECT year(o_orderdate) AS yr, o_orderstatus,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          AS total,
        CAST(count(*) AS BIGINT) AS n
 FROM orders
@@ -2803,7 +2803,8 @@ WITH monthly AS (
            AS revenue
   FROM orders GROUP BY 1, 2
 )
-SELECT month, o_orderpriority, revenue,
+SELECT strftime(month, '%Y-%m') AS month, o_orderpriority,
+       CAST(revenue AS DOUBLE) AS revenue,
        CAST(revenue - lag(revenue) OVER w AS DOUBLE)
          / CAST(lag(revenue) OVER w AS DOUBLE) * 100 AS growth_pct
 FROM monthly
@@ -2930,7 +2931,7 @@ WITH rev AS (
 ), tot AS (
   SELECT CAST(sum(revenue) AS DECIMAL(18,2)) AS t FROM rev
 )
-SELECT o_custkey, revenue,
+SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue,
        CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE) AS cum_share,
        CASE WHEN CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE) <= 0.80
               THEN 'A'
@@ -2971,7 +2972,8 @@ WITH per_cust AS (
          quantile_cont(CAST(revenue AS DOUBLE), 0.8) AS m_q4
   FROM base
 )
-SELECT o_custkey, r_days, n_orders, revenue,
+SELECT o_custkey, r_days, n_orders,
+       CAST(revenue AS DOUBLE) AS revenue,
        CAST(6 - (1 + CAST(CAST(r_days AS DOUBLE) > th.r_q1 AS INT)
                    + CAST(CAST(r_days AS DOUBLE) > th.r_q2 AS INT)
                    + CAST(CAST(r_days AS DOUBLE) > th.r_q3 AS INT)

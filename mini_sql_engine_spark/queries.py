@@ -2244,10 +2244,14 @@ def filtered_agg(spark, sf_dir):
     li = Catalog(spark, sf_dir).table("lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count_if(F.col("l_quantity") > 30).alias("n_bulk"),
+        # Exact decimal accumulation (order-free), DOUBLE on the way
+        # out: driver-visible columns must be DOUBLE/BIGINT/STRING/
+        # BOOLEAN — pandas lowers DECIMAL to float64 and a Decimal
+        # "115906.00" vs float "115906.0" stringify-mismatches.
         F.sum(
             F.when(F.col("l_discount") < 0.05,
                    F.col("l_quantity").cast("decimal(18,2)"))
-        ).cast("decimal(18,2)").alias("qty_low_disc"),
+        ).cast("double").alias("qty_low_disc"),
         F.bool_and(F.col("l_tax") >= 0).cast("long").alias("all_taxed"),
         F.bool_or(F.col("l_discount") > 0.09).cast("long").alias("any_deep_disc"),
     )
@@ -3249,7 +3253,10 @@ def inverted_index(spark, sf_dir):
     frequency, and the head of the sorted posting list (first 5
     doc_ids — heads are what a serving shard materializes hot). One
     (term, doc) aggregate then one term aggregate, both map-side
-    combinable; posting order via array_sort, engine-independent."""
+    combinable; posting order via array_sort, engine-independent.
+    The head ships as a comma-joined STRING, not array<bigint> —
+    driver-visible columns must be scalar (pandas can't sort/hash
+    list cells; the r5 driver err row)."""
     d = Catalog(spark, sf_dir).table("documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -3258,7 +3265,9 @@ def inverted_index(spark, sf_dir):
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5)
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5)
+            .cast("array<string>"), ",")
         .alias("postings_head"),
     )
 
@@ -3625,9 +3634,12 @@ def null_funcs(spark, sf_dir):
             (F.sum(F.col("_big").cast("decimal(18,2)")).cast("double")
              / F.count("_big")).alias("avg_big"),
             F.min("_big").alias("min_big"),
+            # exact DECIMAL sum internally, DOUBLE out (driver canon:
+            # pandas lowers DECIMAL→float64; trailing-zero cents would
+            # stringify-mismatch a Decimal column)
             F.sum(F.coalesce(F.col("_big").cast("decimal(18,2)"),
                              F.lit(0).cast("decimal(18,2)")))
-            .cast("decimal(18,2)").alias("total_big"),
+            .cast("double").alias("total_big"),
         )
     )
 
@@ -3805,7 +3817,10 @@ def pivot_multi(spark, sf_dir):
     for s in ("O", "F", "P"):
         cols.append(F.coalesce(F.col(f"{s}_cnt"), F.lit(0))
                     .cast("long").alias(f"{s.lower()}_cnt"))
-        cols.append(F.col(f"{s}_total").alias(f"{s.lower()}_total"))
+        # exact DECIMAL sum inside the pivot, DOUBLE at the surface
+        # (driver canon: no DECIMAL in driver-visible columns)
+        cols.append(F.col(f"{s}_total").cast("double")
+                    .alias(f"{s.lower()}_total"))
     return piv.select(*cols)
 
 
@@ -4074,19 +4089,25 @@ def mom_growth(spark, sf_dir):
     reporting staple: exact DECIMAL monthly sums (order-independent),
     lag over the tiny (priority × month) aggregate, growth percent as
     ONE IEEE division on identical operands (no rounding needed).
-    First month per priority stays NULL in both engines."""
+    First month per priority stays NULL in both engines.  Driver
+    canon: month ships as a 'yyyy-MM' STRING (Spark DATE vs DuckDB
+    date_trunc TIMESTAMP stringify differently) and revenue as
+    DOUBLE (no DECIMAL at the surface)."""
     o = Catalog(spark, sf_dir).table("orders")
     monthly = o.groupBy(
-        F.trunc("o_orderdate", "month").alias("month"),
+        F.trunc("o_orderdate", "month").alias("_month"),
         "o_orderpriority",
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
           .cast("decimal(18,2)").alias("revenue"))
-    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    w = Window.partitionBy("o_orderpriority").orderBy("_month")
     prev = F.lag("revenue").over(w)
     growth = ((F.col("revenue") - prev).cast("double")
               / prev.cast("double") * 100)
-    return monthly.select("month", "o_orderpriority", "revenue",
-                          growth.alias("growth_pct"))
+    return monthly.select(
+        F.date_format("_month", "yyyy-MM").alias("month"),
+        "o_orderpriority",
+        F.col("revenue").cast("double").alias("revenue"),
+        growth.alias("growth_pct"))
 
 
 def conversion_latency(spark, sf_dir):
@@ -4202,7 +4223,10 @@ def pareto_abc(spark, sf_dir):
     cls = (F.when(share <= 0.80, "A")
            .when(share <= 0.95, "B").otherwise("C"))
     return (ordered.crossJoin(F.broadcast(total))  # 1-row scalar
-            .select("o_custkey", "revenue", share.alias("cum_share"),
+            .select("o_custkey",
+                    # DECIMAL internally, DOUBLE at the driver surface
+                    F.col("revenue").cast("double").alias("revenue"),
+                    share.alias("cum_share"),
                     cls.alias("abc_class")))
 
 
@@ -4254,7 +4278,9 @@ def rfm_quintiles(spark, sf_dir):
         return expr.cast("long")
 
     return base.crossJoin(F.broadcast(th)).select(  # 1-row scalars
-        "o_custkey", "r_days", "n_orders", "revenue",
+        "o_custkey", "r_days", "n_orders",
+        # DECIMAL internally, DOUBLE at the driver surface
+        F.col("revenue").cast("double").alias("revenue"),
         rank_of(F.col("r_days").cast("double"), "r", descending=True)
         .alias("r_q"),
         rank_of(F.col("n_orders").cast("double"), "f").alias("f_q"),
@@ -5678,63 +5704,21 @@ def score_calibration(spark, sf_dir):
 # reaches a driver row in bounded rounds with zero reordering risk.
 # Key order never affects semantics; every entry is independent.
 QUERIES: dict[str, QueryFn] = {
-    # ─── ROTATION (round 5): ungreen hash-checked keys first ───
+    # ─── ROTATION (round 6): ungreen hash-checked keys first ───
     # The driver records only the first 50 entries per round, so every
     # hash-checked key lacking a green CORRECTNESS_r* row sits in a
     # contiguous prefix here (tests/test_registry.py enforces this).
-    # 63 ungreen > 50 cap: positions 50+ rotate forward next round.
-    # `filtered_agg` leads — r4's sole red row (boolean hash
-    # canonicalization; both sides now CAST to BIGINT).
+    # 55 ungreen: the 5 r5-RED keys lead (their driver-canon output
+    # types are now fixed — DECIMAL→DOUBLE, DATE→'yyyy-MM' string,
+    # ARRAY→comma-joined string — so the driver validates the fix
+    # this round), then the 50 keys no round has ever sampled.
+    # 55 > 50 cap: the last 5 (feature_hashing … score_calibration)
+    # overflow contiguously and rotate into round 7's front.
     "filtered_agg": filtered_agg,
-    "group_split": group_split,
-    "label_balance": label_balance,
-    "zscore_outliers": zscore_outliers,
-    "winsorize": winsorize,
-    "corr_matrix": corr_matrix,
-    "moments_agg": moments_agg,
-    "explode_outer_toks": explode_outer_toks,
-    "kl_divergence": kl_divergence,
-    "anomaly_mad": anomaly_mad,
-    "boilerplate_strip": boilerplate_strip,
-    "rolling_median": rolling_median,
-    "lm_score": lm_score,
-    "knn_label": knn_label,
-    "nearest_centroid": nearest_centroid,
-    "bm25_score": bm25_score,
     "inverted_index": inverted_index,
-    "inline_values": inline_values,
-    "safe_cast": safe_cast,
-    "interval_arith": interval_arith,
-    "attribution": attribution,
-    "compact_runs": compact_runs,
-    "bitmap_distinct": bitmap_distinct,
-    "sketch_rollup": sketch_rollup,
-    "setsim_join": setsim_join,
-    "containment_dup": containment_dup,
-    "event_transitions": event_transitions,
-    "twap_agg": twap_agg,
-    "max_concurrency": max_concurrency,
-    "dict_encode": dict_encode,
-    "null_funcs": null_funcs,
-    "pmi_pairs": pmi_pairs,
-    "triangle_count": triangle_count,
-    "nearest_join": nearest_join,
-    "map_funcs": map_funcs,
     "pivot_multi": pivot_multi,
-    "interval_union": interval_union,
-    "lateral_topn": lateral_topn,
-    "exists_ineq": exists_ineq,
     "group_by_all": group_by_all,
-    "weighted_sample": weighted_sample,
-    "time_split_leakage": time_split_leakage,
-    "or_join_union": or_join_union,
-    "sample_k_grouped": sample_k_grouped,
-    "burst_detect": burst_detect,
-    "rel_division": rel_division,
-    "streaks": streaks,
     "mom_growth": mom_growth,
-    "conversion_latency": conversion_latency,
-    "profile_table": profile_table,
     "simhash_sig": simhash_sig,
     "adoption_curve": adoption_curve,
     "pareto_abc": pareto_abc,
@@ -5785,6 +5769,52 @@ QUERIES: dict[str, QueryFn] = {
     "mutual_info": mutual_info,
     "media_manifest": media_manifest,
     "score_calibration": score_calibration,
+    # ─── green hash-checked keys (driver-verified r5) ───
+    "group_split": group_split,
+    "label_balance": label_balance,
+    "zscore_outliers": zscore_outliers,
+    "winsorize": winsorize,
+    "corr_matrix": corr_matrix,
+    "moments_agg": moments_agg,
+    "explode_outer_toks": explode_outer_toks,
+    "kl_divergence": kl_divergence,
+    "anomaly_mad": anomaly_mad,
+    "boilerplate_strip": boilerplate_strip,
+    "rolling_median": rolling_median,
+    "lm_score": lm_score,
+    "knn_label": knn_label,
+    "nearest_centroid": nearest_centroid,
+    "bm25_score": bm25_score,
+    "inline_values": inline_values,
+    "safe_cast": safe_cast,
+    "interval_arith": interval_arith,
+    "attribution": attribution,
+    "compact_runs": compact_runs,
+    "bitmap_distinct": bitmap_distinct,
+    "sketch_rollup": sketch_rollup,
+    "setsim_join": setsim_join,
+    "containment_dup": containment_dup,
+    "event_transitions": event_transitions,
+    "twap_agg": twap_agg,
+    "max_concurrency": max_concurrency,
+    "dict_encode": dict_encode,
+    "null_funcs": null_funcs,
+    "pmi_pairs": pmi_pairs,
+    "triangle_count": triangle_count,
+    "nearest_join": nearest_join,
+    "map_funcs": map_funcs,
+    "interval_union": interval_union,
+    "lateral_topn": lateral_topn,
+    "exists_ineq": exists_ineq,
+    "weighted_sample": weighted_sample,
+    "time_split_leakage": time_split_leakage,
+    "or_join_union": or_join_union,
+    "sample_k_grouped": sample_k_grouped,
+    "burst_detect": burst_detect,
+    "rel_division": rel_division,
+    "streaks": streaks,
+    "conversion_latency": conversion_latency,
+    "profile_table": profile_table,
     # ─── green hash-checked keys (driver-verified r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Simulate the round driver: run __spark_entry__ queries() vs
+oracle_sql() on DuckDB at sf0.01, compare rowcount + sorted column
+names + order-insensitive value hash. Optional argv: subset of keys."""
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from mini_sql_engine_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def norm_cell(v):
+    import datetime
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def pandas_hash(pdf):
+    """The round driver's canon: pandas frame, columns sorted by
+    name, rows sorted via sort_values over all columns, every cell
+    stringified with str().  Decimal/date/list cells keep their
+    pandas repr — exactly the surface the driver compares."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    h = hashlib.sha256()
+    for row in pdf.itertuples(index=False):
+        h.update("\x1f".join(str(v) for v in row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    keys = sys.argv[1:]
+    spark = get_spark(cpus=8)
+    df = E.entry(spark)
+    assert len(df.take(1)) > 0, "entry() returned no rows"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    todo = keys or list(qs)
+    n_match = n_mismatch = n_err = n_rowsonly = 0
+    for k in todo:
+        try:
+            sdf = qs[k](spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+            if k not in oracles:
+                print(f"ROWS-ONLY {k}: {len(srows)} rows")
+                n_rowsonly += 1
+                continue
+            ocur = con.execute(oracles[k])
+            ocols = [d[0] for d in ocur.description]
+            orows = ocur.fetchall()
+            ok_rows = len(srows) == len(orows)
+            ok_cols = sorted(scols) == sorted(ocols)
+            ok_hash = (table_hash(scols, [tuple(r) for r in srows])
+                       == table_hash(ocols, orows))
+            # pandas twin: replicate the ROUND DRIVER's canon exactly
+            # (fetchdf/toPandas + sort_values + str cells) — catches
+            # Decimal-vs-float64 trailing zeros, DATE-vs-TIMESTAMP
+            # strings, and unsortable list cells that the collect()
+            # hash above normalizes away.
+            ok_pd = (pandas_hash(sdf.toPandas())
+                     == pandas_hash(con.execute(oracles[k]).fetchdf()))
+            if ok_rows and ok_cols and ok_hash and ok_pd:
+                print(f"MATCH     {k}: {len(srows)} rows")
+                n_match += 1
+            else:
+                print(f"MISMATCH  {k}: rows {len(srows)}/{len(orows)} "
+                      f"cols_ok={ok_cols} hash_ok={ok_hash} pd_ok={ok_pd}")
+                if not ok_cols:
+                    print(f"   spark cols: {sorted(scols)}")
+                    print(f"   duck  cols: {sorted(ocols)}")
+                n_mismatch += 1
+        except Exception as exc:
+            print(f"ERR       {k}: {type(exc).__name__}: {exc}")
+            n_err += 1
+    print(f"\nTOTAL match={n_match} mismatch={n_mismatch} "
+          f"err={n_err} rows_only={n_rowsonly}")
+
+
+if __name__ == "__main__":
+    main()

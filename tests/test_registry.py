@@ -17,6 +17,8 @@ import os
 from mini_sql_engine_spark.oracles import ORACLES
 from mini_sql_engine_spark.queries import QUERIES
 
+from tests.conftest import SF_SMOKE
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_CAP = 50
 
@@ -65,6 +67,35 @@ def test_every_query_key_has_oracle_or_is_declared_rows_only():
     # every oracle key must exist in the registry (no dangling SQL)
     dangling = sorted(set(ORACLES) - set(QUERIES))
     assert not dangling, f"oracles without queries: {dangling}"
+
+
+def test_hash_checked_outputs_use_driver_safe_types_only(spark):
+    """Driver-canon output-type discipline (VERDICT r5 root cause):
+    the round driver lowers both result sets to pandas and compares
+    stringified cells, so a Spark DECIMAL ("115906.00") vs DuckDB
+    float64 ("115906.0") mismatches on every trailing-zero value,
+    DATE vs TIMESTAMP stringify differently, and ARRAY/MAP cells
+    crash pandas sort_values.  Every hash-checked key must therefore
+    emit only DOUBLE / integral / STRING / BOOLEAN / TIMESTAMP
+    columns (timestamps and booleans are proven safe by green rows).
+    Plan-only — schemas resolve without executing a single job."""
+    from pyspark.sql import types as T
+
+    banned = (T.DecimalType, T.DateType, T.ArrayType, T.MapType,
+              T.BinaryType, T.StructType)
+    offenders = []
+    for key, fn in QUERIES.items():
+        if key not in ORACLES:
+            continue  # rows-only keys may ship arrays/vectors freely
+        schema = fn(spark, SF_SMOKE).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append(
+                    f"{key}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "driver-hostile output types in hash-checked keys "
+        f"(pandas canon would red them): {offenders}"
+    )
 
 
 def test_registry_is_large_enough_to_need_rotation():
