@@ -9,6 +9,28 @@ driver merges k·p rows — which is the only sane top-k at 100 TB.
 
 Determinism: callers should include a unique tie-break key; a sort on
 a non-unique key is only deterministic up to ties.
+
+EXCHANGE-REUSE DEPENDENCY (ADVICE r5): the prefix-sum helpers below
+reference their range-partitioned ``base`` from two subplans (the
+local cumsum and the per-partition totals). ``repartitionByRange``
+samples its boundaries with an RDD-id-dependent seed, so correctness
+of the offsets requires both branches to observe the SAME boundaries
+— which holds ONLY while Spark materializes the identical exchange
+once and wires the second consumer to a ``ReusedExchange``. Reuse
+fires when the two exchange subtrees canonicalize equal; column
+pruning breaks that whenever the input carries columns beyond
+(group, keys, value) — the totals branch prunes them, the scans
+differ, and the two exchanges materialize separately with
+independently sampled boundaries (provably wrong offsets once
+partitions exceed the ~60-row boundary sample). The helpers
+therefore rank a SKINNY projection (identical in both branches —
+reuse guaranteed) and join the position back over the caller's
+unique keys only when extra columns exist; the skinny fast path is
+pinned by
+``tests/test_plans.py::test_prefix_sum_range_exchange_computed_once``.
+(An eager ``materialized()`` barrier would also work but writes the
+full input to local disk — unacceptable for a fact-sized input at
+scale.)
 """
 
 from __future__ import annotations
@@ -26,6 +48,33 @@ def order_by(df: DataFrame, *keys: Column | str) -> DataFrame:
 def top_k(df: DataFrame, k: int, *keys: Column | str) -> DataFrame:
     """Top-k by sort keys → TakeOrderedAndProject (no full sort)."""
     return df.orderBy(*keys).limit(k)
+
+
+def _skinny_then_join(
+    df: DataFrame, used: list[str], key_names: list[str],
+    rank_fn, alias: str,
+) -> DataFrame | None:
+    """Route a wider-than-needed input through the skinny projection
+    (see module docstring): rank only ``used`` columns — both
+    exchange branches then scan the identical column set and Spark
+    provably reuses the one sampled range exchange — and join the
+    attached column back over the caller's keys (a total order by
+    contract, hence unique; null-safe equality keeps NULL-keyed rows
+    ranked the same way the window would). Returns None when the
+    input is already skinny (zero-cost fast path applies). Only
+    reachable with plain-string keys; Column-expression callers must
+    pass a skinny frame (each helper's docstring says so)."""
+    extra = [c for c in df.columns if c not in used]
+    if not extra:
+        return None
+    skinny = rank_fn(df.select(*[c for c in df.columns if c in used]))
+    r = skinny.select(
+        *[F.col(n).alias(f"_rk_{n}") for n in key_names], F.col(alias))
+    cond = None
+    for n in key_names:
+        c = df[n].eqNullSafe(F.col(f"_rk_{n}"))
+        cond = c if cond is None else cond & c
+    return df.join(r, cond).select(*df.columns, alias)
 
 
 def with_rank(
@@ -48,6 +97,15 @@ def with_rank(
     scale. Deterministic whenever ``keys`` form a total order (callers
     add a unique tie-break, as the module docstring requires).
     """
+    names = [k for k in keys if isinstance(k, str)]
+    if len(names) == len(keys):  # wide frame → skinny + join-back
+        routed = _skinny_then_join(
+            df, names, names,
+            lambda s: with_rank(s, *keys, alias=alias,
+                                num_partitions=num_partitions),
+            alias)
+        if routed is not None:
+            return routed
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -85,6 +143,16 @@ def with_running_total(
     over ~32 rows, broadcast back). No data-size single-task stage.
     Deterministic whenever ``keys`` form a total order.
     """
+    names = [k for k in keys if isinstance(k, str)]
+    if len(names) == len(keys):  # wide frame → skinny + join-back
+        routed = _skinny_then_join(
+            df, names + [value_col], names,
+            lambda s: with_running_total(
+                s, value_col, *keys, alias=alias,
+                num_partitions=num_partitions),
+            alias)
+        if routed is not None:
+            return routed
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -135,6 +203,17 @@ def with_grouped_running_total(
     equally fine there); this operator earns its exchange when groups
     are few and huge.
     """
+    names = [k for k in keys if isinstance(k, str)]
+    if len(names) == len(keys):  # wide frame → skinny + join-back
+        routed = _skinny_then_join(
+            df, group_cols + names + [value_col],
+            group_cols + names,
+            lambda s: with_grouped_running_total(
+                s, value_col, group_cols, *keys, alias=alias,
+                num_partitions=num_partitions),
+            alias)
+        if routed is not None:
+            return routed
     gcols = [F.col(g) for g in group_cols]
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(

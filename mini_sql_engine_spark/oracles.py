@@ -3466,21 +3466,41 @@ FROM f
 """
 
 ORACLES["welch_ttest"] = """
-WITH agg AS (
+WITH c AS (
+  -- cents discipline: scale-0 decimal sums, ONE decimal->double
+  -- conversion, divide by the power of ten in IEEE afterwards
+  -- (a scaled DECIMAL(38,4)->DOUBLE double-rounds here but not in
+  -- Spark — 1-ULP divergence)
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(20,0)) AS cents
+  FROM lineitem
+), sums AS (
   SELECT
     count_if(l_returnflag = 'A') AS n_a,
     count_if(l_returnflag = 'R') AS n_r,
+    CAST(sum(CASE WHEN l_returnflag = 'A' THEN cents END) AS DOUBLE)
+      AS s1a,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN cents END) AS DOUBLE)
+      AS s1r,
     CAST(sum(CASE WHEN l_returnflag = 'A'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
-      / count_if(l_returnflag = 'A') AS mean_a,
+             THEN CAST(cents AS DECIMAL(38,0)) * cents END) AS DOUBLE)
+      AS s2a,
     CAST(sum(CASE WHEN l_returnflag = 'R'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
-      / count_if(l_returnflag = 'R') AS mean_r,
-    round(var_samp(CASE WHEN l_returnflag = 'A'
-                   THEN CAST(l_extendedprice AS DOUBLE) END), 6) AS var_a,
-    round(var_samp(CASE WHEN l_returnflag = 'R'
-                   THEN CAST(l_extendedprice AS DOUBLE) END), 6) AS var_r
-  FROM lineitem
+             THEN CAST(cents AS DECIMAL(38,0)) * cents END) AS DOUBLE)
+      AS s2r
+  FROM c
+), agg AS (
+  -- sample variance from EXACT cents power sums: identical IEEE
+  -- expression tree as the Spark side, no accumulation-order noise
+  SELECT n_a, n_r,
+         s1a / n_a / 100.0 AS mean_a,
+         s1r / n_r / 100.0 AS mean_r,
+         round(((s2a - s1a * s1a / n_a) / (n_a - 1)) / 10000.0, 6)
+           AS var_a,
+         round(((s2r - s1r * s1r / n_r) / (n_r - 1)) / 10000.0, 6)
+           AS var_r
+  FROM sums
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_r AS BIGINT) AS n_r,
        mean_a, mean_r, var_a, var_r,
@@ -3721,17 +3741,34 @@ WHERE NOT EXISTS (
 """
 
 ORACLES["regr_residuals"] = """
-WITH model AS (
+WITH cts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS xq,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(20,0)) AS yc
+  FROM lineitem
+), sums AS (
+  -- exact power sums (order-free) in integer cents, ONE
+  -- decimal->double conversion each, ÷10^k in IEEE afterwards:
+  -- identical model/variance trees as the Spark side, no
+  -- merge-order noise and no double-rounded scaled-decimal casts
   SELECT l_returnflag,
-         round(regr_slope(CAST(l_extendedprice AS DOUBLE),
-                          CAST(l_quantity AS DOUBLE)), 6) + 0.0 AS b,
-         round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
-                              CAST(l_quantity AS DOUBLE)), 6) AS a,
-         round(var_samp(CAST(l_extendedprice AS DOUBLE)), 4) AS vy,
-         round(covar_samp(CAST(l_extendedprice AS DOUBLE),
-                          CAST(l_quantity AS DOUBLE)), 4) AS cv,
-         round(var_samp(CAST(l_quantity AS DOUBLE)), 4) AS vx
-  FROM lineitem GROUP BY 1
+         count(*) AS n,
+         CAST(sum(xq) AS DOUBLE) AS sx,
+         CAST(sum(xq * xq) AS DOUBLE) AS sxx,
+         CAST(sum(yc) AS DOUBLE) / 100.0 AS sy,
+         CAST(sum(CAST(yc AS DECIMAL(38,0)) * yc) AS DOUBLE) / 10000.0
+           AS syy,
+         CAST(sum(yc * xq) AS DOUBLE) / 100.0 AS sxy
+  FROM cts GROUP BY 1
+), model AS (
+  SELECT l_returnflag,
+         round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0 AS b,
+         round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                        * (sx / n), 6) AS a,
+         round((syy - sy * sy / n) / (n - 1), 4) AS vy,
+         round((sxy - sx * sy / n) / (n - 1), 4) AS cv,
+         round((sxx - sx * sx / n) / (n - 1), 4) AS vx
+  FROM sums
 ), m2 AS (
   SELECT l_returnflag, a, b,
          round(2 * sqrt(greatest(0.0, vy - 2 * b * cv + b * b * vx)), 4)

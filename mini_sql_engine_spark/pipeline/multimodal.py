@@ -69,16 +69,27 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
     PNG payloads decode for real via the stdlib-only baseline codec
     (``pipeline.png`` — zlib inflate + RFC 2083 unfiltering; no
-    imaging library needed). Every other container format still
-    raises ``NotImplementedError`` — plug Pillow/torchvision here in
-    production; the (w, h, c, pixels) contract is theirs too."""
+    imaging library needed). Other container formats decode through
+    Pillow when it is installed (feature-detected import — absent in
+    this container, so that path is exercised only in production);
+    without it they raise ``NotImplementedError``. The
+    (w, h, c, pixels) contract is identical either way."""
     if png.is_png(payload):
         return png.decode_png(payload)
-    raise NotImplementedError(
-        "only PNG decodes in this environment (stdlib codec); other "
-        "formats need an imaging library — or use fake_decode=True "
-        "for the deterministic stand-in"
-    )
+    try:
+        from PIL import Image  # feature-detect; not in this container
+    except ImportError:
+        raise NotImplementedError(
+            "only PNG decodes in this environment (stdlib codec); "
+            "other formats need Pillow (`pip install Pillow` in "
+            "production) — or use fake_decode=True for the "
+            "deterministic stand-in"
+        ) from None
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    w, h = img.size
+    return w, h, 3, img.tobytes()
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:

@@ -42,6 +42,15 @@ def _norm(v: Column) -> Column:
     return F.sqrt(_dot(v, v))
 
 
+def _safe_denom(n: Column) -> Column:
+    """Guard a cosine denominator: a zero-norm (all-zero) vector would
+    make the division NaN/Inf, and Spark sorts NaN LARGEST, so such a
+    neighbor would outrank every real one (ADVICE r5). Substituting 1
+    leaves the numerator-0 cosine at exactly 0 — ranked last, as a
+    zero vector should be. Identity for every non-degenerate row."""
+    return F.when(n > 0, n).otherwise(F.lit(1.0))
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", _norm(F.col(vec_col)))
 
@@ -74,7 +83,7 @@ def brute_force_topk(
             "neighbor_id",
             (
                 _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
+                / _safe_denom(F.col("q_norm") * F.col("c_norm"))
             ).alias("cosine"),
         )
     )
@@ -167,7 +176,7 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         (_dot(F.col("q_vec"), F.col("c_vec"))
-         / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+         / _safe_denom(F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
     )
     return _topk_per_query(scored, k)
 
@@ -418,7 +427,7 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         (_dot(F.col("q_vec"), F.col("c_vec"))
-         / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+         / _safe_denom(F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
     )
     return _topk_per_query(scored, k)
 
@@ -748,6 +757,13 @@ def _pq_train(train: "np.ndarray", m: int, k: int,
     import numpy as np
 
     d = train.shape[1]
+    # sub = d // m silently DROPS the trailing d % m dimensions from
+    # both the codes and the distortion measure (ADVICE r5) — refuse
+    # the config instead of quietly mismeasuring.
+    if d % m != 0:
+        raise ValueError(
+            f"product quantization needs dim divisible by m: d={d}, m={m}"
+        )
     sub = d // m
     books = np.empty((m, k, sub))
     for s in range(m):
@@ -1002,7 +1018,8 @@ def ivfpq_topk(
         .select(
             "query_id", "neighbor_id",
             (_dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * _norm(F.col("c_vec")))).alias("cosine"),
+             / _safe_denom(F.col("q_norm") * _norm(F.col("c_vec"))))
+            .alias("cosine"),
         )
     )
     return _topk_per_query(scored, k)

@@ -4963,27 +4963,49 @@ def quality_gate(spark, sf_dir):
 def welch_ttest(spark, sf_dir):
     """Welch two-sample t-test between return-flag groups A and R on
     extended price — the A/B readout (unequal variances, no pooled
-    assumption). Means are EXACT (decimal sum / count); variances
-    carry accumulation noise so they are rounded at 6 (the
-    `stats_agg` discipline) and the t statistic and
-    Welch–Satterthwaite df are then derived from the ROUNDED inputs
-    with one fixed IEEE expression tree — bit-identical in both
-    engines. One conditional aggregate over the fact; everything
-    after is 1-row arithmetic."""
+    assumption). Means AND variances derive from EXACT DECIMAL power
+    sums (Σx, Σx² — the `moments_agg` discipline): var_samp built-ins
+    carry merge-order accumulation noise that no magnitude-blind
+    rounding digit can absorb at ~5e8 magnitudes (ADVICE r5), whereas
+    the power sums are order-free and the variance / t / df formulas
+    then run as one fixed IEEE expression tree on identical doubles —
+    bit-identical in both engines at ANY scale or partitioning. One
+    conditional aggregate over the fact; everything after is 1-row
+    arithmetic.
+
+    CENTS DISCIPLINE: the power sums accumulate as SCALE-0 decimals
+    (integer cents) and convert to double ONCE, dividing by the
+    power of ten afterwards in IEEE — a scaled decimal like
+    DECIMAL(38,4) converts differently across engines (DuckDB
+    int128→double then ÷10⁴ double-rounds; Spark's BigDecimal cast
+    rounds once) and diverged by 1 ULP at sf0.001."""
     li = Catalog(spark, sf_dir).table("lineitem")
-    xd = F.col("l_extendedprice").cast("double")
-    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("decimal(20,0)")
     is_a = F.col("l_returnflag") == "A"
     is_r = F.col("l_returnflag") == "R"
     agg = li.groupBy().agg(
         F.count_if(is_a).alias("n_a"),
         F.count_if(is_r).alias("n_r"),
-        (F.sum(F.when(is_a, dec)).cast("double")
-         / F.count_if(is_a)).alias("mean_a"),
-        (F.sum(F.when(is_r, dec)).cast("double")
-         / F.count_if(is_r)).alias("mean_r"),
-        F.round(F.var_samp(F.when(is_a, xd)), 6).alias("var_a"),
-        F.round(F.var_samp(F.when(is_r, xd)), 6).alias("var_r"),
+        F.sum(F.when(is_a, cents)).cast("double").alias("_s1a"),
+        F.sum(F.when(is_r, cents)).cast("double").alias("_s1r"),
+        F.sum(F.when(is_a, cents.cast("decimal(38,0)") * cents))
+        .cast("double").alias("_s2a"),
+        F.sum(F.when(is_r, cents.cast("decimal(38,0)") * cents))
+        .cast("double").alias("_s2r"),
+    )
+
+    def var_of(s1, s2, n):  # sample variance from exact cents sums
+        return ((s2 - s1 * s1 / n) / (n - 1)) / F.lit(10000.0)
+
+    agg = agg.select(
+        "n_a", "n_r",
+        (F.col("_s1a") / F.col("n_a") / F.lit(100.0)).alias("mean_a"),
+        (F.col("_s1r") / F.col("n_r") / F.lit(100.0)).alias("mean_r"),
+        F.round(var_of(F.col("_s1a"), F.col("_s2a"), F.col("n_a")), 6)
+        .alias("var_a"),
+        F.round(var_of(F.col("_s1r"), F.col("_s2r"), F.col("n_r")), 6)
+        .alias("var_r"),
     )
     sa = F.col("var_a") / F.col("n_a")
     sr = F.col("var_r") / F.col("n_r")
@@ -5351,27 +5373,47 @@ def pareto_frontier(spark, sf_dir):
 
 
 def regr_residuals(spark, sf_dir):
-    """Residual-based outlier screen: fit price ~ quantity per group
-    (single-pass mergeable `regr_slope`/`regr_intercept`, rounded at
-    the declared digit so both engines hold IDENTICAL parameters),
+    """Residual-based outlier screen: fit price ~ quantity per group,
     broadcast the tiny model table back, and count rows whose
     absolute residual exceeds 2·stddev — regression-adjusted anomaly
     detection, the sequel to `zscore_outliers` when the feature has a
-    trend. Two aggregates over the fact + one broadcast join; no
-    window, no sort."""
+    trend. The slope/variance/covariance family derives from EXACT
+    DECIMAL/BIGINT power sums (Σx Σx² Σy Σy² Σxy — the `moments_agg`
+    discipline): built-in regr_*/var_samp/covar_samp accumulate in
+    merge order, and no magnitude-blind rounding digit absorbs that
+    noise at ~5e8 variances (ADVICE r5); power sums are order-free
+    and both engines then run ONE identical IEEE expression tree.
+    Two aggregates over the fact + one broadcast join; no window, no
+    sort."""
     li = Catalog(spark, sf_dir).table("lineitem")
     y, x = F.col("l_extendedprice").cast("double"), \
         F.col("l_quantity").cast("double")
-    # pass 1: model AND the outlier threshold from the same mergeable
-    # moments — var(resid) = var_y − 2b·cov + b²·var_x (the intercept
-    # only shifts), every component rounded BEFORE combining so both
-    # engines derive the identical cut
-    model = li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope(y, x), 6).alias("_b"),
-        F.round(F.regr_intercept(y, x), 6).alias("_a"),
-        F.round(F.var_samp(y), 4).alias("_vy"),
-        F.round(F.covar_samp(y, x), 4).alias("_cv"),
-        F.round(F.var_samp(x), 4).alias("_vx"),
+    xq = F.col("l_quantity").cast("bigint")
+    # cents discipline (see welch_ttest): scale-0 decimal sums, one
+    # decimal->double conversion, ÷10^k in IEEE afterwards
+    yc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("decimal(20,0)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xq).cast("double").alias("_sx"),
+        F.sum(xq * xq).cast("double").alias("_sxx"),
+        F.sum(yc).cast("double").alias("_syc"),
+        F.sum(yc.cast("decimal(38,0)") * yc).cast("double").alias("_syyc"),
+        F.sum(yc * xq).cast("double").alias("_sxyc"),
+    )
+    n = F.col("_n")
+    sx, sxx = F.col("_sx"), F.col("_sxx")
+    sy = F.col("_syc") / F.lit(100.0)
+    syy = F.col("_syyc") / F.lit(10000.0)
+    sxy = F.col("_sxyc") / F.lit(100.0)
+    b_raw = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    model = sums.select(
+        "l_returnflag",
+        F.round(b_raw, 6).alias("_b"),
+        F.round(sy / n - b_raw * (sx / n), 6).alias("_a"),
+        F.round((syy - sy * sy / n) / (n - 1), 4).alias("_vy"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("_cv"),
+        F.round((sxx - sx * sx / n) / (n - 1), 4).alias("_vx"),
     ).select(
         "l_returnflag", "_a", "_b",
         F.round(

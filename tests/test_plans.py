@@ -771,3 +771,39 @@ def test_bloom_probe_join_is_broadcast(spark):
     shuffled join would move the fact to 16 Ki rows."""
     p = plan(Q.bloom_prefilter(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_prefix_sum_range_exchange_computed_once(spark):
+    """The distributed prefix-sum helpers reference their sampled
+    range exchange from TWO subplans (local cumsum + per-partition
+    totals); offsets are only correct if both branches observe the
+    SAME sampled boundaries (ADVICE r5). Spark guarantees that by
+    materializing the exchange once and wiring the second consumer to
+    a ReusedExchange — pin it: the EXECUTED plan must show exactly one
+    materialized range exchange and at least one ReusedExchange."""
+    from mini_sql_engine_spark.catalog import Catalog
+    from mini_sql_engine_spark.operators import sorting as SO
+
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    for df in (
+        SO.with_rank(li, "l_orderkey", "l_linenumber"),
+        SO.with_running_total(
+            li, "l_quantity", "l_orderkey", "l_linenumber"),
+        SO.with_grouped_running_total(
+            li, "l_quantity", ["l_returnflag"],
+            "l_orderkey", "l_linenumber"),
+    ):
+        df.collect()  # AQE finalizes reuse at runtime — execute first
+        p = df._jdf.queryExecution().executedPlan().toString()
+        # the adaptive plan string appends the pre-reuse "Initial
+        # Plan" — judge only what actually ran
+        final = p.split("== Initial Plan ==")[0]
+        # a ReusedExchange node's own line echoes the reused
+        # exchange's description — count only true materializations
+        n_range = sum(
+            1 for ln in final.splitlines()
+            if "Exchange rangepartitioning" in ln
+            and "ReusedExchange" not in ln)
+        assert n_range == 1, (
+            f"range exchange materialized {n_range}x:\n{final}")
+        assert "ReusedExchange" in final, final
