@@ -50,8 +50,10 @@ def test_pareto_abc_boundaries(spark):
 def test_pareto_revenue_reconciles(spark):
     rows = Q.pareto_abc(spark, SF_SMOKE).collect()
     o = Catalog(spark, SF_SMOKE).table("orders")
+    # revenue surfaces as DOUBLE since r6 (driver canon: no DECIMAL
+    # in driver-visible columns); the sum itself is still exact
     want = {r["o_custkey"]: r["rev"] for r in o.groupBy("o_custkey")
             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("decimal(18,2)").alias("rev")).collect()}
+                 .cast("double").alias("rev")).collect()}
     got = {r["o_custkey"]: r["revenue"] for r in rows}
     assert got == want

@@ -75,10 +75,12 @@ def test_bm25_rewards_term_frequency(spark):
 
 
 def test_inverted_index_postings_sorted_and_bounded(spark):
+    # postings_head ships as a comma-joined STRING since r6 (driver
+    # canon: pandas cannot sort/hash list cells) — parse it back
     rows = Q.inverted_index(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        ph = r["postings_head"]
+        ph = [int(x) for x in r["postings_head"].split(",")]
         assert len(ph) == min(r["df"], 5)
         assert ph == sorted(ph)
         assert r["cf"] >= r["df"]
