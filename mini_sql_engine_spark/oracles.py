@@ -1000,9 +1000,14 @@ GROUP BY c_nationkey
 
 ORACLES["sessionize"] = """
 WITH marked AS (
+  -- gap on FLOORED SECONDS, matching the Spark side's
+  -- unix_timestamp arithmetic (a raw INTERVAL comparison diverges
+  -- when a sub-second-fractional gap floors to exactly 1800 —
+  -- surfaced at sf0.1)
   SELECT event_id, user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                      >= 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1415,7 +1420,8 @@ SELECT event_id, user_id,
        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
          AS value_last_hour
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 """
 

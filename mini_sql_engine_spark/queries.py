@@ -1999,9 +1999,10 @@ def win_time_range(spark, sf_dir):
     user) — the rolling-metric shape dashboards live on, distinct
     from bucketed tumbling windows (every ROW gets its own trailing
     frame). Spark's DataFrame API range frames are numeric, so the
-    order key is epoch seconds with ``rangeBetween(-3599, 0)`` —
-    equivalent to DuckDB's ``RANGE INTERVAL 59 MINUTES 59 SECONDS
-    PRECEDING`` over its epoch — one keyed shuffle."""
+    order key is FLOORED epoch seconds with ``rangeBetween(-3599,
+    0)``; the oracle ranges over the same floored integer (a
+    fractional-epoch RANGE shifts boundaries on sub-second data —
+    surfaced at sf0.1). One keyed shuffle."""
     ev = Catalog(spark, sf_dir).table("events")
     epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
     w = (Window.partitionBy("user_id").orderBy(epoch)

@@ -3,6 +3,7 @@
 oracle_sql() on DuckDB at sf0.01, compare rowcount + sorted column
 names + order-insensitive value hash. Optional argv: subset of keys."""
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -12,7 +13,9 @@ import duckdb  # noqa: E402
 import __spark_entry__ as E  # noqa: E402
 from mini_sql_engine_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
+CPUS = int(os.environ.get("DRIVE_CPUS", "8"))
+SHUF = os.environ.get("DRIVE_SHUFFLE")  # optional partition override
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
@@ -60,7 +63,8 @@ def table_hash(cols, rows):
 
 def main():
     keys = sys.argv[1:]
-    spark = get_spark(cpus=8)
+    spark = get_spark(cpus=CPUS,
+                      shuffle_partitions=int(SHUF) if SHUF else None)
     df = E.entry(spark)
     assert len(df.take(1)) > 0, "entry() returned no rows"
     con = duckdb.connect()
