@@ -67,3 +67,21 @@ def test_sql_front_door_equals_dataframe_front_door(spark, qkey):
     got = sorted(map(tuple, sql_rows.collect()))
     exp = sorted(map(tuple, df_rows.collect()))
     assert got == exp
+
+
+# The floored-second event-time contract diverged from raw-interval
+# oracles ONLY at sf0.1 density (a fractional gap flooring to exactly
+# the threshold / a range boundary inside a second) — pin the keys
+# that diverged at the SF that exposed them.
+SUBSECOND_SENSITIVE = ["sessionize", "win_time_range", "max_concurrency"]
+
+
+@pytest.mark.parametrize("qkey", SUBSECOND_SENSITIVE)
+def test_event_gap_parity_at_dense_sf(spark, duck, qkey):
+    from tests.conftest import register_duck_views
+
+    sf_dense = "/root/testdata/sf0.1"
+    register_duck_views(duck, sf_dense)
+    df = QUERIES[qkey](spark, sf_dense)
+    assert_parity(df, duck, ORACLES[qkey], qkey)
+    register_duck_views(duck, SF_SMOKE)  # restore for later tests
