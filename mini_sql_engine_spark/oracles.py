@@ -4034,3 +4034,110 @@ SELECT CAST((pos - 1) * 10 // n + 1 AS BIGINT) AS decile,
          AS mean_score
 FROM ranked GROUP BY 1
 """
+
+# ─────────── §2.30 round-20 additions ───────────
+
+ORACLES["dedup_time_window"] = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hb
+  FROM events
+), r AS (
+  SELECT user_id, event_type, hb, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type, hb
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, hb) AS n
+  FROM b
+)
+SELECT user_id, event_type,
+       CAST(hb AS BIGINT) AS window_start,
+       CAST(event_id AS BIGINT) AS kept_event_id,
+       CAST(n AS BIGINT) AS n_in_window
+FROM r WHERE rn = 1
+"""
+
+ORACLES["vocab_coverage"] = """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count_if(v.tok IS NULL) AS BIGINT) AS n_oov,
+       CAST(count_if(v.tok IS NULL) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY lang
+"""
+
+ORACLES["char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+                                       i -> text[i:i])) AS ch
+  FROM documents
+), per AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), p AS (
+  SELECT doc_id, c,
+         CAST(c AS DOUBLE)
+           / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS pr
+  FROM per
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(sum(-pr * log2(pr)), 6) + 0.0 AS entropy_bits
+FROM p GROUP BY doc_id
+"""
+
+ORACLES["iqr_scale"] = """
+WITH th AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CASE WHEN q3 <> q1
+            THEN (CAST(l_quantity AS DOUBLE) - med) / (q3 - q1)
+       END AS qty_scaled
+FROM lineitem l JOIN th USING (l_returnflag)
+"""
+
+ORACLES["vec_stats"] = """
+WITH terms AS (
+  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+), agg AS (
+  SELECT vec_id, count(*) AS dim, sum(x) AS s, sum(x * x) AS sq,
+         max(x) AS mx
+  FROM terms GROUP BY vec_id
+), med AS (
+  SELECT vec_id,
+         CASE WHEN len(srt) % 2 = 1
+              THEN CAST(srt[(len(srt) + 1) // 2] AS DOUBLE)
+              ELSE (CAST(srt[len(srt) // 2] AS DOUBLE)
+                    + CAST(srt[len(srt) // 2 + 1] AS DOUBLE)) / 2
+         END AS median_val
+  FROM (SELECT vec_id,
+               list_sort(list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE))) AS srt
+        FROM embeddings)
+)
+SELECT a.vec_id,
+       CAST(dim AS BIGINT) AS dim,
+       round(sqrt(sq), 6) AS l2_norm,
+       round(s / dim, 6) + 0.0 AS mean_val,
+       median_val,
+       mx AS max_val
+FROM agg a JOIN med USING (vec_id)
+"""
