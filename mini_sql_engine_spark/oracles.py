@@ -4141,3 +4141,155 @@ SELECT a.vec_id,
        mx AS max_val
 FROM agg a JOIN med USING (vec_id)
 """
+
+ORACLES["revenue_bridge"] = """
+WITH per AS (
+  SELECT o_custkey,
+         coalesce(sum(CASE WHEN year(o_orderdate) = 1995
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS p,
+         coalesce(sum(CASE WHEN year(o_orderdate) = 1996
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS c
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY o_custkey
+), cls AS (
+  SELECT CASE WHEN p = 0 THEN 'new'
+              WHEN c = 0 THEN 'churned'
+              WHEN c > p THEN 'expanded'
+              WHEN c < p THEN 'contracted'
+              ELSE 'flat' END AS bridge_class, p, c
+  FROM per
+)
+SELECT bridge_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(p) AS DOUBLE) AS rev_prev,
+       CAST(sum(c) AS DOUBLE) AS rev_curr,
+       CAST(sum(c) - sum(p) AS DOUBLE) AS delta
+FROM cls GROUP BY bridge_class
+"""
+
+ORACLES["top_paths"] = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                      >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked
+), pos AS (
+  SELECT user_id, s, event_type,
+         row_number() OVER (PARTITION BY user_id, s
+                            ORDER BY ts, event_id) AS p
+  FROM sid
+), paths AS (
+  SELECT user_id, s,
+         string_agg(event_type, '>' ORDER BY p) AS path
+  FROM pos WHERE p <= 3 GROUP BY user_id, s
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+ORACLES["gini_index"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                   AS DECIMAL(20,0)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), seg AS (
+  SELECT r.o_custkey, r.cents, c.c_mktsegment
+  FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+), ranked AS (
+  SELECT c_mktsegment, cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents, o_custkey) AS rk
+  FROM seg
+), agg AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         CAST(sum(CAST(rk AS DECIMAL(19,0))
+                  * CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS s
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n_customers,
+       (2.0 * s1 - (n + 1) * s) / (n * s) AS gini
+FROM agg
+"""
+
+ORACLES["order_aging"] = """
+WITH anchor AS (
+  SELECT max(o_orderdate) AS a FROM orders
+)
+SELECT o_orderstatus AS status,
+       CASE WHEN datediff('day', o_orderdate, anchor.a) <= 30
+              THEN '0-30'
+            WHEN datediff('day', o_orderdate, anchor.a) <= 90
+              THEN '31-90'
+            WHEN datediff('day', o_orderdate, anchor.a) <= 365
+              THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS open_value
+FROM orders, anchor
+WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2
+"""
+
+ORACLES["label_noise"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings
+  WHERE vec_id % 10 <> 0
+), terms AS (
+  SELECT q_id, c_id, label,
+         CAST(qv[i] AS DOUBLE) AS x, CAST(cv[i] AS DOUBLE) AS y
+  FROM (SELECT q_id, c_id, label, qv, cv,
+               unnest(generate_series(1, len(qv))) AS i
+        FROM c CROSS JOIN q)
+), sims AS (
+  SELECT q_id, c_id, label,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+           AS sim
+  FROM terms GROUP BY q_id, c_id, label
+), top AS (
+  SELECT q_id, label,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, c_id) AS rn
+  FROM sims
+), votes AS (
+  SELECT q_id, label, count(*) AS votes FROM top
+  WHERE rn <= 3 GROUP BY q_id, label
+), pred AS (
+  SELECT q_id, label AS pred_label
+  FROM (SELECT q_id, label, votes,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY votes DESC, label) AS r
+        FROM votes)
+  WHERE r = 1
+), own AS (
+  SELECT vec_id AS q_id, label AS true_label FROM embeddings
+  WHERE vec_id % 10 = 0
+)
+SELECT true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count_if(pred_label <> true_label) AS BIGINT) AS n_disagree,
+       CAST(count_if(pred_label <> true_label) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS noise_rate
+FROM own JOIN pred USING (q_id)
+GROUP BY true_label
+"""

@@ -5889,6 +5889,170 @@ def vec_stats(spark, sf_dir):
     )
 
 
+def revenue_bridge(spark, sf_dir):
+    """Period-over-period revenue bridge (the waterfall every revenue
+    review starts with): each customer's 1995 vs 1996 revenue
+    classifies them NEW / CHURNED / EXPANDED / CONTRACTED / FLAT, and
+    the bridge reports headcount and revenue movement per class.
+    One filtered conditional aggregate over orders (map-side
+    partials), exact DECIMAL money end to end, DOUBLE only at the
+    final select; classification is per-customer map-side
+    arithmetic on the tiny per-customer aggregate."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.col("o_totalprice").cast("decimal(18,2)")
+    yr = F.year("o_orderdate")
+    per = (
+        o.filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.coalesce(F.sum(F.when(yr == 1995, cents)),
+                       F.lit(0).cast("decimal(18,2)")).alias("_p"),
+            F.coalesce(F.sum(F.when(yr == 1996, cents)),
+                       F.lit(0).cast("decimal(18,2)")).alias("_c"),
+        )
+    )
+    cls = (F.when(F.col("_p") == 0, "new")
+           .when(F.col("_c") == 0, "churned")
+           .when(F.col("_c") > F.col("_p"), "expanded")
+           .when(F.col("_c") < F.col("_p"), "contracted")
+           .otherwise("flat"))
+    return (
+        per.select(cls.alias("bridge_class"), "_p", "_c")
+        .groupBy("bridge_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_p").cast("double").alias("rev_prev"),
+            F.sum("_c").cast("double").alias("rev_curr"),
+            (F.sum("_c") - F.sum("_p")).cast("double").alias("delta"),
+        )
+    )
+
+
+def top_paths(spark, sf_dir):
+    """Top-20 session entry paths (first three event types per
+    session, joined with '>') — the product-analytics path-mining
+    staple. Sessions come from the same floored-second 30-minute-gap
+    contract as `sessionize`; the per-session path is an ORDERED
+    list aggregation (struct-sorted collect, the `listagg`
+    discipline); the top-20 cut is a TakeOrderedAndProject over the
+    path-count table with a full tie-break. ONE (user) keyed shuffle
+    drives the gap flags, session ids, and positions; the path
+    aggregate reshuffles on (user, session)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag(epoch).over(w).isNull()
+        | (epoch - F.lag(epoch).over(w) >= 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sid = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("_sid", F.sum(new_sess).over(wsum))
+    )
+    ws = Window.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    first3 = (sid.withColumn("_pos", F.row_number().over(ws))
+              .filter(F.col("_pos") <= 3))
+    paths = (
+        first3.groupBy("user_id", "_sid")
+        .agg(F.concat_ws(">", F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "event_type"))),
+            lambda s: s.event_type)).alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+def gini_index(spark, sf_dir):
+    """Revenue Gini coefficient per market segment — the one-number
+    concentration readout next to `pareto_abc`'s full curve:
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over each segment's
+    customers sorted by revenue. The within-segment rank is the
+    grouped DISTRIBUTED prefix-sum (a cumulative count — never one
+    sort task per segment); every sum is exact integer cents in
+    scale-0 DECIMAL (single decimal→double conversion, the cents
+    discipline), so the final expression is identical IEEE on both
+    engines with no rounding at all."""
+    cat = Catalog(spark, sf_dir)
+    o, c = cat.table("orders"), cat.table("customer")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(20,0)").cast("bigint").alias("_cents"))
+    seg = rev.join(c.select(F.col("c_custkey").alias("o_custkey"),
+                            "c_mktsegment"), "o_custkey")
+    ranked = SO.with_grouped_running_total(
+        seg.withColumn("_one", F.lit(1)),
+        "_one", ["c_mktsegment"], "_cents", "o_custkey",
+        alias="_rank")
+    s1 = F.sum(F.expr(
+        "CAST(_rank AS DECIMAL(19,0)) * CAST(_cents AS DECIMAL(19,0))"))
+    s = F.sum(F.col("_cents").cast("decimal(19,0)"))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("_n"),
+        s1.cast("double").alias("_s1"),
+        s.cast("double").alias("_s"),
+    )
+    n = F.col("_n")
+    gini = ((F.lit(2.0) * F.col("_s1") - (n + 1) * F.col("_s"))
+            / (n * F.col("_s")))
+    return agg.select(
+        "c_mktsegment", n.cast("long").alias("n_customers"),
+        gini.alias("gini"))
+
+
+def order_aging(spark, sf_dir):
+    """Open-order aging buckets (0-30 / 31-90 / 91-365 / 365+ days
+    vs the dataset's anchor date) per order status — the AR/backlog
+    report. One 1-row anchor broadcast, map-side bucket arithmetic on
+    exact integer days, one hash aggregate; money exact DECIMAL,
+    DOUBLE at the surface."""
+    o = Catalog(spark, sf_dir).table("orders")
+    anchor = o.agg(F.max("o_orderdate").alias("_a"))
+    age = F.datediff("_a", "o_orderdate")
+    bucket = (F.when(age <= 30, "0-30").when(age <= 90, "31-90")
+              .when(age <= 365, "91-365").otherwise("365+"))
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(anchor))  # 1-row scalar
+        .groupBy(F.col("o_orderstatus").alias("status"),
+                 bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("open_value"),
+        )
+    )
+
+
+def label_noise(spark, sf_dir):
+    """Label-noise audit: per true label, how often the 3-NN majority
+    vote disagrees with the stored label — the screen you run before
+    trusting labels for training (mislabeled clusters light up as
+    high-noise labels). Reuses the hash-verified `knn_label`
+    prediction kernel end to end; the audit itself is one broadcast
+    join + one tiny aggregate; rate is exact BIGINT/BIGINT."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    own = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"))
+    pred = knn_label(spark, sf_dir).select("q_id", "pred_label")
+    return (
+        own.join(pred, "q_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.count_if(F.col("pred_label") != F.col("true_label"))
+            .cast("long").alias("n_disagree"),
+            (F.count_if(F.col("pred_label") != F.col("true_label"))
+             .cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("noise_rate"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -5975,6 +6139,11 @@ QUERIES: dict[str, QueryFn] = {
     "char_entropy": char_entropy,
     "iqr_scale": iqr_scale,
     "vec_stats": vec_stats,
+    "revenue_bridge": revenue_bridge,
+    "top_paths": top_paths,
+    "gini_index": gini_index,
+    "order_aging": order_aging,
+    "label_noise": label_noise,
     # ─── green hash-checked keys (driver-verified r5) ───
     "group_split": group_split,
     "label_balance": label_balance,

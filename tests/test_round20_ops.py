@@ -142,3 +142,108 @@ def test_round20_plans_stay_jvm_side(spark):
     ps = Q.vec_stats(spark, SF_SMOKE) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in ps, ps
+
+
+def test_revenue_bridge_reconciles(spark):
+    """Class totals reconcile with the raw yearly sums, delta =
+    curr − prev per class, and classes partition the active-customer
+    set."""
+    rows = Q.revenue_bridge(spark, SF_SMOKE).collect()
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    raw = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"))
+    n_cust = raw.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    tot_p = float(raw.filter("yr = 1995").agg(F.sum("v")).first()[0] or 0)
+    tot_c = float(raw.filter("yr = 1996").agg(F.sum("v")).first()[0] or 0)
+    assert math.isclose(sum(r["rev_prev"] for r in rows), tot_p, abs_tol=1e-6)
+    assert math.isclose(sum(r["rev_curr"] for r in rows), tot_c, abs_tol=1e-6)
+    for r in rows:
+        assert math.isclose(r["delta"], r["rev_curr"] - r["rev_prev"],
+                            abs_tol=1e-6)
+
+
+def test_top_paths_shapes(spark):
+    rows = Q.top_paths(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    types = {r["event_type"] for r in
+             Catalog(spark, SF_SMOKE).table("events")
+             .select("event_type").distinct().collect()}
+    for r in rows:
+        segs = r["path"].split(">")
+        assert 1 <= len(segs) <= 3
+        assert all(s in types for s in segs)
+        assert r["n_sessions"] >= 1
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_gini_index_numpy_replay(spark):
+    """0 ≤ G < 1 and a numpy replay of the exact formula agrees to
+    double precision for every segment."""
+    rows = Q.gini_index(spark, SF_SMOKE).collect()
+    assert rows
+    cat = Catalog(spark, SF_SMOKE)
+    o, c = cat.table("orders"), cat.table("customer")
+    rev = (o.groupBy("o_custkey")
+           .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                .cast("decimal(20,0)").cast("bigint").alias("cents"))
+           .join(c.select(F.col("c_custkey").alias("o_custkey"),
+                          "c_mktsegment"), "o_custkey")
+           .collect())
+    by_seg: dict = {}
+    for r in rev:
+        by_seg.setdefault(r["c_mktsegment"], []).append(
+            (r["cents"], r["o_custkey"]))
+    for r in rows:
+        xs = [v for v, _ in sorted(by_seg[r["c_mktsegment"]])]
+        n, s = len(xs), float(sum(xs))
+        s1 = float(sum((i + 1) * x for i, x in enumerate(xs)))
+        want = (2.0 * s1 - (n + 1) * s) / (n * s)
+        assert r["n_customers"] == n
+        assert math.isclose(r["gini"], want, rel_tol=1e-12)
+        assert 0 <= r["gini"] < 1
+
+
+def test_order_aging_partitions_open_orders(spark):
+    rows = Q.order_aging(spark, SF_SMOKE).collect()
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    n_open = o.filter(F.col("o_orderstatus") != "F").count()
+    assert sum(r["n_orders"] for r in rows) == n_open
+    assert {r["age_bucket"] for r in rows} <= {"0-30", "31-90",
+                                               "91-365", "365+"}
+    assert all(r["status"] in ("O", "P") for r in rows)
+
+
+def test_label_noise_reconciles_with_knn(spark):
+    rows = {r["true_label"]: r
+            for r in Q.label_noise(spark, SF_SMOKE).collect()}
+    emb = Catalog(spark, SF_SMOKE).table("embeddings")
+    own = {r["vec_id"]: r["label"]
+           for r in emb.filter(F.col("vec_id") % 10 == 0).collect()}
+    pred = {r["q_id"]: r["pred_label"]
+            for r in Q.knn_label(spark, SF_SMOKE).collect()}
+    assert sum(r["n_queries"] for r in rows.values()) == len(own)
+    for lab, r in rows.items():
+        qs = [q for q, tl in own.items() if tl == lab]
+        dis = sum(1 for q in qs if pred[q] != lab)
+        assert r["n_queries"] == len(qs)
+        assert r["n_disagree"] == dis
+        assert r["noise_rate"] == dis / len(qs)
+
+
+def test_round20_batch2_plans(spark):
+    """JVM-only row paths; the aging anchor broadcasts; the gini rank
+    uses the distributed grouped prefix-sum (range partitioning, not
+    a per-segment window sort)."""
+    for qkey in ("revenue_bridge", "top_paths", "gini_index",
+                 "order_aging", "label_noise"):
+        p = Q.QUERIES[qkey](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p, f"{qkey}: {p}"
+    pg = Q.gini_index(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in pg.lower(), pg
+    assert "_pid" in pg, pg
