@@ -4293,3 +4293,145 @@ SELECT true_label,
 FROM own JOIN pred USING (q_id)
 GROUP BY true_label
 """
+
+ORACLES["score_auc"] = """
+WITH bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i) gs
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), scores AS (
+  SELECT doc_id,
+         round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+         + 0.0 AS s
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+), gate AS (
+  SELECT doc_id,
+         CAST(NOT (n < 5) AND NOT ((n - nd) * 10 > n * 4)
+              AND NOT (ns * 10 > n * 4) AS BIGINT) AS keep
+  FROM (
+    SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+           len(list_filter(tk,
+               t -> list_contains(['the', 'a', 'is', 'of'], t))) AS ns
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents))
+), per AS (
+  SELECT s.s AS score,
+         count_if(g.keep = 1) AS np,
+         count_if(g.keep = 0) AS nn
+  FROM scores s JOIN gate g USING (doc_id)
+  GROUP BY s.s
+), cum AS (
+  SELECT score, np, nn,
+         sum(nn) OVER (ORDER BY score
+                       ROWS UNBOUNDED PRECEDING) AS cnn
+  FROM per
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       CAST(sum(CAST(np AS DECIMAL(19,0))
+                * CAST(2 * (cnn - nn) + nn AS DECIMAL(19,0))) AS DOUBLE)
+         / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE))
+         AS auc
+FROM cum
+"""
+
+ORACLES["ks_test"] = """
+WITH per AS (
+  SELECT CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS DECIMAL(20,0)) AS BIGINT) AS v,
+         count_if(l_returnflag = 'A') AS ca,
+         count_if(l_returnflag = 'R') AS cr
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1
+), tot AS (
+  SELECT sum(ca) AS na, sum(cr) AS nr FROM per
+), cum AS (
+  SELECT v,
+         sum(CAST(CAST(ca AS DECIMAL(19,0)) * CAST(tot.nr AS DECIMAL(19,0))
+                  - CAST(cr AS DECIMAL(19,0)) * CAST(tot.na AS DECIMAL(19,0))
+                  AS DECIMAL(38,0)))
+           OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+  FROM per, tot
+), dm AS (
+  SELECT max(abs(c)) AS dnum FROM cum
+), at AS (
+  SELECT min(v) AS ks_at FROM cum, dm WHERE abs(c) = dm.dnum
+)
+SELECT CAST(tot.na AS BIGINT) AS n_a,
+       CAST(tot.nr AS BIGINT) AS n_r,
+       CAST(dm.dnum AS DOUBLE)
+         / (CAST(tot.na AS DOUBLE) * CAST(tot.nr AS DOUBLE)) AS ks_stat,
+       CAST(at.ks_at AS BIGINT) AS ks_at_cents
+FROM tot, dm, at
+"""
+
+ORACLES["psi_drift"] = """
+WITH per AS (
+  SELECT lang,
+         count_if((strpos('0123456789abcdef', md5(text)[4:4]) - 1) % 2
+                  = 0) AS a,
+         count_if((strpos('0123456789abcdef', md5(text)[4:4]) - 1) % 2
+                  = 1) AS b
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS k FROM per
+), terms AS (
+  SELECT ((CAST(a AS DOUBLE) + 0.5)
+          / (CAST(tot.ta AS DOUBLE) + 0.5 * tot.k)
+          - (CAST(b AS DOUBLE) + 0.5)
+            / (CAST(tot.tb AS DOUBLE) + 0.5 * tot.k))
+         * ln(((CAST(a AS DOUBLE) + 0.5)
+               / (CAST(tot.ta AS DOUBLE) + 0.5 * tot.k))
+              / ((CAST(b AS DOUBLE) + 0.5)
+                 / (CAST(tot.tb AS DOUBLE) + 0.5 * tot.k))) AS t
+  FROM per, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_langs,
+       round(sum(t), 6) + 0.0 AS psi,
+       CAST(sum(t) > 0.2 AS BIGINT) AS drift_flag
+FROM terms
+"""
+
+ORACLES["fk_orphans"] = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count_if(o.o_orderkey IS NULL) AS BIGINT) AS n_orphans,
+       CAST(count_if(o.o_orderkey IS NULL) AS DOUBLE) / count(*)
+         AS orphan_rate
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(count(*) AS BIGINT),
+       CAST(count_if(p.p_partkey IS NULL) AS BIGINT),
+       CAST(count_if(p.p_partkey IS NULL) AS DOUBLE) / count(*)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+  ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(count(*) AS BIGINT),
+       CAST(count_if(s.s_suppkey IS NULL) AS BIGINT),
+       CAST(count_if(s.s_suppkey IS NULL) AS DOUBLE) / count(*)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+  ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count_if(c.c_custkey IS NULL) AS BIGINT),
+       CAST(count_if(c.c_custkey IS NULL) AS DOUBLE) / count(*)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(count_if(n.n_nationkey IS NULL) AS BIGINT),
+       CAST(count_if(n.n_nationkey IS NULL) AS DOUBLE) / count(*)
+FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+  ON c.c_nationkey = n.n_nationkey
+"""

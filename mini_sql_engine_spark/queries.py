@@ -6053,6 +6053,171 @@ def label_noise(spark, sf_dir):
     )
 
 
+def score_auc(spark, sf_dir):
+    """ROC-AUC of the fluency score (`lm_score`) predicting the
+    quality gate's keep decision — the ONE number that says whether a
+    learned/heuristic score is worth thresholding (0.5 = coin flip).
+    Computed as the exact Mann-Whitney statistic on the DISTINCT-
+    score table: per score value, positive/negative counts; the
+    strictly-below negative mass comes from the distributed
+    prefix-sum (range partition + O(P) offsets — never a single-task
+    window over the score domain); ties contribute the standard ½.
+    All numerators are exact integers in scale-0 DECIMAL (single
+    decimal→double conversion), so AUC is identical IEEE on both
+    engines with no rounding."""
+    sc = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    kp = quality_gate(spark, sf_dir).select("doc_id", "keep")
+    per = (
+        sc.join(kp, "doc_id")
+        .groupBy("avg_logprob")
+        .agg(F.count_if(F.col("keep") == 1).alias("_np"),
+             F.count_if(F.col("keep") == 0).alias("_nn"))
+    )
+    cum = SO.with_running_total(per, "_nn", "avg_logprob", alias="_cnn")
+    # 2·AUC numerator = Σ n_pos·(2·neg_below + neg_at) — exact ints
+    contrib2 = (F.col("_np").cast("decimal(19,0)")
+                * (2 * (F.col("_cnn") - F.col("_nn")) + F.col("_nn"))
+                .cast("decimal(19,0)"))
+    agg = cum.groupBy().agg(
+        F.sum("_np").alias("_p"),
+        F.sum("_nn").alias("_n"),
+        F.sum(contrib2).cast("double").alias("_num2"),
+    )
+    auc = (F.col("_num2")
+           / (F.lit(2.0) * F.col("_p").cast("double")
+              * F.col("_n").cast("double")))
+    return agg.select(
+        F.col("_p").cast("long").alias("n_pos"),
+        F.col("_n").cast("long").alias("n_neg"),
+        auc.alias("auc"))
+
+
+def ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the A and R
+    return-flag price distributions — the standard "did the
+    distribution shift?" test for A/B readouts and drift monitors.
+    D = max |F_A − F_R| over the pooled support, maximized on the
+    EXACT integer cross-numerator |cumA·N_R − cumB·N_A| (no float
+    comparisons anywhere); the CDF prefix runs as ONE distributed
+    prefix-sum of the per-value signed term cA·N_R − cR·N_A over the
+    distinct-cents table (scale-0 DECIMAL — exact at any corpus
+    size). The argmax location ties break to the smallest value on
+    the same exact integers."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("decimal(20,0)").cast("bigint")
+    fl = F.col("l_returnflag")
+    per = (
+        li.filter(fl.isin("A", "R"))
+        .select(fl.alias("_f"), cents.alias("_v"))
+        .groupBy("_v")
+        .agg(F.count_if(F.col("_f") == "A").alias("_ca"),
+             F.count_if(F.col("_f") == "R").alias("_cr"))
+    )
+    tot = per.groupBy().agg(F.sum("_ca").alias("_na"),
+                            F.sum("_cr").alias("_nr"))
+    signed = (F.col("_ca").cast("decimal(19,0)")
+              * F.col("_nr").cast("decimal(19,0)")
+              - F.col("_cr").cast("decimal(19,0)")
+              * F.col("_na").cast("decimal(19,0)")).cast("decimal(38,0)")
+    base = per.crossJoin(F.broadcast(tot)) \
+        .select("_v", "_na", "_nr", signed.alias("_t"))
+    cum = SO.with_running_total(base, "_t", "_v", alias="_cum")
+    dmax = cum.groupBy().agg(
+        F.max(F.abs(F.col("_cum"))).alias("_dnum"),
+        F.first("_na").alias("_na2"), F.first("_nr").alias("_nr2"))
+    at = (cum.crossJoin(F.broadcast(dmax))
+          .filter(F.abs(F.col("_cum")) == F.col("_dnum"))
+          .groupBy().agg(F.min("_v").alias("_at")))
+    ks = (F.col("_dnum").cast("double")
+          / (F.col("_na2").cast("double") * F.col("_nr2").cast("double")))
+    return (dmax.crossJoin(F.broadcast(at))  # two 1-row scalars
+            .select(
+                F.col("_na2").cast("long").alias("n_a"),
+                F.col("_nr2").cast("long").alias("n_r"),
+                ks.alias("ks_stat"),
+                F.col("_at").cast("long").alias("ks_at_cents")))
+
+
+def psi_drift(spark, sf_dir):
+    """Population Stability Index between the two content-hash corpus
+    halves (`corpus_drift`'s split) over the language distribution —
+    THE industry drift gate (rule of thumb: PSI > 0.2 ⇒ investigate).
+    Laplace-smoothed shares from exact integer counts (both engines
+    feed libm identical doubles — `kl_divergence` discipline), one
+    grouped agg + a 1-row total broadcast; the verdict flag is
+    integer-exact."""
+    d = Catalog(spark, sf_dir).table("documents")
+    side = ((F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5(F.col("text")), 4, 1)) - 1) % 2)
+    per = (d.select(F.col("lang"), side.alias("_s"))
+           .groupBy("lang")
+           .agg(F.count_if(F.col("_s") == 0).alias("_a"),
+                F.count_if(F.col("_s") == 1).alias("_b")))
+    tot = per.groupBy().agg(F.sum("_a").alias("_ta"),
+                            F.sum("_b").alias("_tb"),
+                            F.count(F.lit(1)).alias("_k"))
+    p = ((F.col("_a").cast("double") + 0.5)
+         / (F.col("_ta").cast("double") + 0.5 * F.col("_k")))
+    q = ((F.col("_b").cast("double") + 0.5)
+         / (F.col("_tb").cast("double") + 0.5 * F.col("_k")))
+    term = (p - q) * F.log(p / q)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(F.sum(term), 6).alias("psi"),
+            (F.sum(term) > 0.2).cast("long").alias("drift_flag"),
+        )
+    )
+
+
+def fk_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan counts and rates for every
+    foreign-key edge of the star schema — the first data-quality
+    check on any warehouse load (`table_checks`' cross-table
+    sibling). Each edge is one left join + conditional count;
+    dimension parents broadcast, the two fact-sized edges shuffle on
+    their keys — exactly the plan the real reconciliation would run.
+    Exact BIGINT counts, one row per edge."""
+    cat = Catalog(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), \
+        cat.table("customer")
+    p, s, n = cat.table("part"), cat.table("supplier"), \
+        cat.table("nation")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey",
+         o.select(F.col("o_orderkey").alias("_pk")), False),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+         p.select(F.col("p_partkey").alias("_pk")), True),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         s.select(F.col("s_suppkey").alias("_pk")), True),
+        ("orders.o_custkey->customer", o, "o_custkey",
+         c.select(F.col("c_custkey").alias("_pk")), False),
+        ("customer.c_nationkey->nation", c, "c_nationkey",
+         n.select(F.col("n_nationkey").alias("_pk")), True),
+    ]
+    parts = []
+    for name, child, key, parent, small in edges:
+        pr = F.broadcast(parent.distinct()) if small \
+            else parent.distinct()
+        j = child.select(F.col(key).alias("_k")) \
+            .join(pr, F.col("_k") == F.col("_pk"), "left")
+        parts.append(j.groupBy().agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count_if(F.col("_pk").isNull()).cast("long")
+            .alias("n_orphans"),
+            (F.count_if(F.col("_pk").isNull()).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("orphan_rate"),
+        ))
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    return out
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -6144,6 +6309,10 @@ QUERIES: dict[str, QueryFn] = {
     "gini_index": gini_index,
     "order_aging": order_aging,
     "label_noise": label_noise,
+    "score_auc": score_auc,
+    "ks_test": ks_test,
+    "psi_drift": psi_drift,
+    "fk_orphans": fk_orphans,
     # ─── green hash-checked keys (driver-verified r5) ───
     "group_split": group_split,
     "label_balance": label_balance,

@@ -247,3 +247,105 @@ def test_round20_batch2_plans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in pg.lower(), pg
     assert "_pid" in pg, pg
+
+
+def test_score_auc_python_replay(spark):
+    """Exact Mann-Whitney AUC (ties → ½) replayed in pure python
+    from the score/keep tables; AUC ∈ [0, 1]."""
+    sc = {r["doc_id"]: r["avg_logprob"]
+          for r in Q.lm_score(spark, SF_SMOKE).collect()}
+    kp = {r["doc_id"]: r["keep"]
+          for r in Q.quality_gate(spark, SF_SMOKE).collect()}
+    pos = [sc[d] for d in sc if d in kp and kp[d] == 1]
+    neg = [sc[d] for d in sc if d in kp and kp[d] == 0]
+    num = 0.0
+    for x in pos:
+        for y in neg:
+            num += 1.0 if x > y else (0.5 if x == y else 0.0)
+    want = num / (len(pos) * len(neg))
+    r = Q.score_auc(spark, SF_SMOKE).collect()[0]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert math.isclose(r["auc"], want, rel_tol=1e-12)
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_ks_test_numpy_replay(spark):
+    """KS statistic replayed from the raw cents arrays: D equals the
+    max CDF gap and the reported location attains it."""
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    rows = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(20,0)").cast("bigint").alias("c")).collect()
+    a = sorted(r["c"] for r in rows if r["l_returnflag"] == "A")
+    b = sorted(r["c"] for r in rows if r["l_returnflag"] == "R")
+    support = sorted(set(a) | set(b))
+    import bisect
+    best, best_at = -1, None
+    for v in support:
+        fa = bisect.bisect_right(a, v) / len(a)
+        fb = bisect.bisect_right(b, v) / len(b)
+        d = abs(fa - fb)
+        if d > best + 1e-15:
+            best, best_at = d, v
+    r = Q.ks_test(spark, SF_SMOKE).collect()[0]
+    assert r["n_a"] == len(a) and r["n_r"] == len(b)
+    assert math.isclose(r["ks_stat"], best, rel_tol=1e-9)
+    fa = bisect.bisect_right(a, r["ks_at_cents"]) / len(a)
+    fb = bisect.bisect_right(b, r["ks_at_cents"]) / len(b)
+    assert math.isclose(abs(fa - fb), best, rel_tol=1e-9)
+
+
+def test_psi_drift_python_replay(spark):
+    rows = Catalog(spark, SF_SMOKE).table("documents").select(
+        "lang",
+        ((F.instr(F.lit("0123456789abcdef"),
+                  F.substring(F.md5(F.col("text")), 4, 1)) - 1) % 2)
+        .alias("s")).collect()
+    per: dict = {}
+    for r in rows:
+        a, b = per.get(r["lang"], (0, 0))
+        per[r["lang"]] = (a + (r["s"] == 0), b + (r["s"] == 1))
+    ta = sum(a for a, _ in per.values())
+    tb = sum(b for _, b in per.values())
+    k = len(per)
+    psi = 0.0
+    for a, b in per.values():
+        p = (a + 0.5) / (ta + 0.5 * k)
+        q = (b + 0.5) / (tb + 0.5 * k)
+        psi += (p - q) * math.log(p / q)
+    r = Q.psi_drift(spark, SF_SMOKE).collect()[0]
+    assert r["n_langs"] == k
+    assert math.isclose(r["psi"], psi, abs_tol=1e-6)
+    assert r["psi"] >= 0  # PSI is a symmetrized divergence
+    assert r["drift_flag"] == (1 if psi > 0.2 else 0)
+
+
+def test_fk_orphans_clean_schema(spark):
+    """The generated star schema is referentially intact — every edge
+    reports zero orphans over the full child count."""
+    rows = {r["fk_edge"]: r for r in Q.fk_orphans(spark, SF_SMOKE).collect()}
+    assert len(rows) == 5
+    cat = Catalog(spark, SF_SMOKE)
+    assert rows["lineitem.l_orderkey->orders"]["n_child"] == \
+        cat.table("lineitem").count()
+    assert rows["orders.o_custkey->customer"]["n_child"] == \
+        cat.table("orders").count()
+    for r in rows.values():
+        assert r["n_orphans"] == 0
+        assert r["orphan_rate"] == 0.0
+
+
+def test_round20_batch3_plans(spark):
+    """AUC and KS use the distributed prefix-sum (no single-task
+    domain window); dimension-parent FK probes broadcast."""
+    for qkey in ("score_auc", "ks_test"):
+        p = Q.QUERIES[qkey](spark, SF_SMOKE) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in p.lower(), f"{qkey}: {p}"
+        assert "_pid" in p, f"{qkey}: {p}"
+        assert "BatchEvalPython" not in p, f"{qkey}: {p}"
+    pf = Q.fk_orphans(spark, SF_SMOKE) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pf, pf
+    assert "BatchEvalPython" not in pf, pf
