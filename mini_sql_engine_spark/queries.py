@@ -6236,12 +6236,14 @@ QUERIES: dict[str, QueryFn] = {
     # The driver records only the first 50 entries per round, so every
     # hash-checked key lacking a green CORRECTNESS_r* row sits in a
     # contiguous prefix here (tests/test_registry.py enforces this).
-    # 55 ungreen: the 5 r5-RED keys lead (their driver-canon output
+    # 69 ungreen: the 5 r5-RED keys lead (their driver-canon output
     # types are now fixed — DECIMAL→DOUBLE, DATE→'yyyy-MM' string,
     # ARRAY→comma-joined string — so the driver validates the fix
-    # this round), then the 50 keys no round has ever sampled.
-    # 55 > 50 cap: the last 5 (feature_hashing … score_calibration)
-    # overflow contiguously and rotate into round 7's front.
+    # this round), then the 50 keys no round has ever sampled, then
+    # the 14 round-20 additions. 69 > 50 cap: the last 19 (positions
+    # 50–68, feature_hashing … fk_orphans) overflow contiguously and
+    # must lead round 7's front-50, which closes full driver coverage
+    # of all 262 hash-checked keys.
     "filtered_agg": filtered_agg,
     "inverted_index": inverted_index,
     "pivot_multi": pivot_multi,
