@@ -6232,75 +6232,21 @@ def fk_orphans(spark, sf_dir):
 # reaches a driver row in bounded rounds with zero reordering risk.
 # Key order never affects semantics; every entry is independent.
 QUERIES: dict[str, QueryFn] = {
-    # ─── ROTATION (round 6): ungreen hash-checked keys first ───
-    # The driver records only the first 50 entries per round, so every
-    # hash-checked key lacking a green CORRECTNESS_r* row sits in a
-    # contiguous prefix here (tests/test_registry.py enforces this).
-    # 69 ungreen: the 5 r5-RED keys lead (their driver-canon output
-    # types are now fixed — DECIMAL→DOUBLE, DATE→'yyyy-MM' string,
-    # ARRAY→comma-joined string — so the driver validates the fix
-    # this round), then the 50 keys no round has ever sampled, then
-    # the 14 round-20 additions. 69 > 50 cap: the last 19 (positions
-    # 50–68, feature_hashing … fk_orphans) overflow contiguously and
-    # must lead round 7's front-50, which closes full driver coverage
-    # of all 262 hash-checked keys.
-    "filtered_agg": filtered_agg,
-    "inverted_index": inverted_index,
-    "pivot_multi": pivot_multi,
-    "group_by_all": group_by_all,
-    "mom_growth": mom_growth,
-    "simhash_sig": simhash_sig,
-    "adoption_curve": adoption_curve,
-    "pareto_abc": pareto_abc,
-    "rfm_quintiles": rfm_quintiles,
-    "basket_pairs": basket_pairs,
-    "linear_interp": linear_interp,
-    "chi_square_cells": chi_square_cells,
-    "utouch_attribution": utouch_attribution,
-    "cluster_sizes": cluster_sizes,
-    "dau_new_returning": dau_new_returning,
-    "terms_per_lang": terms_per_lang,
-    "event_trigrams": event_trigrams,
-    "snapshot_diff": snapshot_diff,
-    "winsorize_approx": winsorize_approx,
-    "benford_digits": benford_digits,
-    "dow_seasonality": dow_seasonality,
-    "minhash_est_quality": minhash_est_quality,
-    "autocorr_daily": autocorr_daily,
-    "cohort_revenue": cohort_revenue,
-    "readability": readability,
-    "heavy_hitters": heavy_hitters,
-    "bloom_prefilter": bloom_prefilter,
-    "name_blocking_pairs": name_blocking_pairs,
-    "weighted_median": weighted_median,
-    "selfjoin_skew": selfjoin_skew,
-    "quality_gate": quality_gate,
-    "welch_ttest": welch_ttest,
-    "topn_others": topn_others,
-    "impute_mean": impute_mean,
-    "pack_stats": pack_stats,
-    "rate_limit_audit": rate_limit_audit,
-    "dup_threshold_sweep": dup_threshold_sweep,
-    "funnel_windowed": funnel_windowed,
-    "churn_labels": churn_labels,
-    "coverage_90": coverage_90,
-    "domain_cap": domain_cap,
-    "asof_tolerance": asof_tolerance,
-    "recon_totals": recon_totals,
-    "pareto_frontier": pareto_frontier,
-    "regr_residuals": regr_residuals,
-    "join_advisor": join_advisor,
-    "zipf_alpha": zipf_alpha,
-    "corpus_card": corpus_card,
-    "scd2_asof": scd2_asof,
-    "dedup_graph_stats": dedup_graph_stats,
+    # ─── ROTATION (round 7): ungreen hash-checked keys first ───
+    # The driver records only the first 50 entries per round; every
+    # hash-checked key lacking a green CORRECTNESS_r* row must sit in
+    # a contiguous prefix (tests/test_registry.py).  19 ungreen after
+    # r06 (the r6 overflow at old positions 50–68) lead; round-7's
+    # new hash-checked ops append directly after them (still inside
+    # the ungreen prefix), then the 18 rows-only keys take the
+    # remaining front-50 slots so each finally gets a driver
+    # rows/schema row — 19 + 13 new + 18 = 50 closes full driver
+    # coverage of the entire registry.
     "feature_hashing": feature_hashing,
     "corpus_drift": corpus_drift,
     "mutual_info": mutual_info,
     "media_manifest": media_manifest,
     "score_calibration": score_calibration,
-    # ─── round-20 additions (never driver-sampled; queue behind the
-    #     r6 overflow so round 7's front-50 covers all of them) ───
     "dedup_time_window": dedup_time_window,
     "vocab_coverage": vocab_coverage,
     "char_entropy": char_entropy,
@@ -6315,53 +6261,29 @@ QUERIES: dict[str, QueryFn] = {
     "ks_test": ks_test,
     "psi_drift": psi_drift,
     "fk_orphans": fk_orphans,
-    # ─── green hash-checked keys (driver-verified r5) ───
-    "group_split": group_split,
-    "label_balance": label_balance,
-    "zscore_outliers": zscore_outliers,
-    "winsorize": winsorize,
-    "corr_matrix": corr_matrix,
-    "moments_agg": moments_agg,
-    "explode_outer_toks": explode_outer_toks,
-    "kl_divergence": kl_divergence,
-    "anomaly_mad": anomaly_mad,
-    "boilerplate_strip": boilerplate_strip,
-    "rolling_median": rolling_median,
-    "lm_score": lm_score,
-    "knn_label": knn_label,
-    "nearest_centroid": nearest_centroid,
-    "bm25_score": bm25_score,
-    "inline_values": inline_values,
-    "safe_cast": safe_cast,
-    "interval_arith": interval_arith,
-    "attribution": attribution,
-    "compact_runs": compact_runs,
-    "bitmap_distinct": bitmap_distinct,
-    "sketch_rollup": sketch_rollup,
-    "setsim_join": setsim_join,
-    "containment_dup": containment_dup,
-    "event_transitions": event_transitions,
-    "twap_agg": twap_agg,
-    "max_concurrency": max_concurrency,
-    "dict_encode": dict_encode,
-    "null_funcs": null_funcs,
-    "pmi_pairs": pmi_pairs,
-    "triangle_count": triangle_count,
-    "nearest_join": nearest_join,
-    "map_funcs": map_funcs,
-    "interval_union": interval_union,
-    "lateral_topn": lateral_topn,
-    "exists_ineq": exists_ineq,
-    "weighted_sample": weighted_sample,
-    "time_split_leakage": time_split_leakage,
-    "or_join_union": or_join_union,
-    "sample_k_grouped": sample_k_grouped,
-    "burst_detect": burst_detect,
-    "rel_division": rel_division,
-    "streaks": streaks,
-    "conversion_latency": conversion_latency,
-    "profile_table": profile_table,
-    # ─── green hash-checked keys (driver-verified r1–r4) ───
+    # ─── round-7 additions (new hash-checked ops, ungreen) ───
+    # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) —
+    #     rotated into the front-50 this round for driver rows/schema
+    #     evidence (VERDICT r6 ask #1) ───
+    "user_ewma": user_ewma,
+    "dedup_near": dedup_near,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embed": dedup_embed,
+    "sim_topk": sim_topk,
+    "sim_ann": sim_ann,
+    "sim_ivf": sim_ivf,
+    "corpus_clean": corpus_clean,
+    "corpus_pipeline": corpus_pipeline,
+    "corpus_sample": corpus_sample,
+    "multimodal_features": multimodal_features,
+    "pagerank_iter": pagerank_iter,
+    "pca_project": pca_project,
+    "kmeans_clusters": kmeans_clusters,
+    "dedup_eval": dedup_eval,
+    "pq_encode": pq_encode,
+    "sim_ivfpq": sim_ivfpq,
+    "compress_ratio": compress_ratio,
+    # ─── green hash-checked keys, stalest first (r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,
     "dedup_cc": dedup_cc,
@@ -6510,23 +6432,101 @@ QUERIES: dict[str, QueryFn] = {
     "range_join": range_join,
     "agg_scalar": agg_scalar,
     "stats_agg": stats_agg,
-    # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) ───
-    "user_ewma": user_ewma,
-    "dedup_near": dedup_near,
-    "dedup_simhash": dedup_simhash,
-    "dedup_embed": dedup_embed,
-    "sim_topk": sim_topk,
-    "sim_ann": sim_ann,
-    "sim_ivf": sim_ivf,
-    "corpus_clean": corpus_clean,
-    "corpus_pipeline": corpus_pipeline,
-    "corpus_sample": corpus_sample,
-    "multimodal_features": multimodal_features,
-    "pagerank_iter": pagerank_iter,
-    "pca_project": pca_project,
-    "kmeans_clusters": kmeans_clusters,
-    "dedup_eval": dedup_eval,
-    "pq_encode": pq_encode,
-    "sim_ivfpq": sim_ivfpq,
-    "compress_ratio": compress_ratio,
+    # ─── green hash-checked keys (driver-verified r5) ───
+    "group_split": group_split,
+    "label_balance": label_balance,
+    "zscore_outliers": zscore_outliers,
+    "winsorize": winsorize,
+    "corr_matrix": corr_matrix,
+    "moments_agg": moments_agg,
+    "explode_outer_toks": explode_outer_toks,
+    "kl_divergence": kl_divergence,
+    "anomaly_mad": anomaly_mad,
+    "boilerplate_strip": boilerplate_strip,
+    "rolling_median": rolling_median,
+    "lm_score": lm_score,
+    "knn_label": knn_label,
+    "nearest_centroid": nearest_centroid,
+    "bm25_score": bm25_score,
+    "inline_values": inline_values,
+    "safe_cast": safe_cast,
+    "interval_arith": interval_arith,
+    "attribution": attribution,
+    "compact_runs": compact_runs,
+    "bitmap_distinct": bitmap_distinct,
+    "sketch_rollup": sketch_rollup,
+    "setsim_join": setsim_join,
+    "containment_dup": containment_dup,
+    "event_transitions": event_transitions,
+    "twap_agg": twap_agg,
+    "max_concurrency": max_concurrency,
+    "dict_encode": dict_encode,
+    "null_funcs": null_funcs,
+    "pmi_pairs": pmi_pairs,
+    "triangle_count": triangle_count,
+    "nearest_join": nearest_join,
+    "map_funcs": map_funcs,
+    "interval_union": interval_union,
+    "lateral_topn": lateral_topn,
+    "exists_ineq": exists_ineq,
+    "weighted_sample": weighted_sample,
+    "time_split_leakage": time_split_leakage,
+    "or_join_union": or_join_union,
+    "sample_k_grouped": sample_k_grouped,
+    "burst_detect": burst_detect,
+    "rel_division": rel_division,
+    "streaks": streaks,
+    "conversion_latency": conversion_latency,
+    "profile_table": profile_table,
+    # ─── green hash-checked keys (driver-verified r6) ───
+    "filtered_agg": filtered_agg,
+    "inverted_index": inverted_index,
+    "pivot_multi": pivot_multi,
+    "group_by_all": group_by_all,
+    "mom_growth": mom_growth,
+    "simhash_sig": simhash_sig,
+    "adoption_curve": adoption_curve,
+    "pareto_abc": pareto_abc,
+    "rfm_quintiles": rfm_quintiles,
+    "basket_pairs": basket_pairs,
+    "linear_interp": linear_interp,
+    "chi_square_cells": chi_square_cells,
+    "utouch_attribution": utouch_attribution,
+    "cluster_sizes": cluster_sizes,
+    "dau_new_returning": dau_new_returning,
+    "terms_per_lang": terms_per_lang,
+    "event_trigrams": event_trigrams,
+    "snapshot_diff": snapshot_diff,
+    "winsorize_approx": winsorize_approx,
+    "benford_digits": benford_digits,
+    "dow_seasonality": dow_seasonality,
+    "minhash_est_quality": minhash_est_quality,
+    "autocorr_daily": autocorr_daily,
+    "cohort_revenue": cohort_revenue,
+    "readability": readability,
+    "heavy_hitters": heavy_hitters,
+    "bloom_prefilter": bloom_prefilter,
+    "name_blocking_pairs": name_blocking_pairs,
+    "weighted_median": weighted_median,
+    "selfjoin_skew": selfjoin_skew,
+    "quality_gate": quality_gate,
+    "welch_ttest": welch_ttest,
+    "topn_others": topn_others,
+    "impute_mean": impute_mean,
+    "pack_stats": pack_stats,
+    "rate_limit_audit": rate_limit_audit,
+    "dup_threshold_sweep": dup_threshold_sweep,
+    "funnel_windowed": funnel_windowed,
+    "churn_labels": churn_labels,
+    "coverage_90": coverage_90,
+    "domain_cap": domain_cap,
+    "asof_tolerance": asof_tolerance,
+    "recon_totals": recon_totals,
+    "pareto_frontier": pareto_frontier,
+    "regr_residuals": regr_residuals,
+    "join_advisor": join_advisor,
+    "zipf_alpha": zipf_alpha,
+    "corpus_card": corpus_card,
+    "scd2_asof": scd2_asof,
+    "dedup_graph_stats": dedup_graph_stats,
 }
