@@ -773,14 +773,37 @@ def test_bloom_probe_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
 
 
+def assert_range_exchange_reused(df, expect_materialized: int = 1):
+    """Reusable executed-plan gate for the prefix-sum contract
+    (VERDICT r6 ask #3).  The distributed prefix-sum helpers
+    reference their sampled range exchange from TWO subplans (local
+    cumsum + per-partition totals); offsets are only correct if both
+    branches observe the SAME sampled boundaries (ADVICE r5).  Spark
+    guarantees that by materializing the exchange once and wiring the
+    second consumer to a ReusedExchange — pin it: the EXECUTED plan
+    must show exactly ``expect_materialized`` materialized range
+    exchanges and at least one ReusedExchange."""
+    df.collect()  # AQE finalizes reuse at runtime — execute first
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the adaptive plan string appends the pre-reuse "Initial
+    # Plan" — judge only what actually ran
+    final = p.split("== Initial Plan ==")[0]
+    # a ReusedExchange node's own line echoes the reused
+    # exchange's description — count only true materializations
+    n_range = sum(
+        1 for ln in final.splitlines()
+        if "Exchange rangepartitioning" in ln
+        and "ReusedExchange" not in ln)
+    assert n_range == expect_materialized, (
+        f"range exchange materialized {n_range}x "
+        f"(expected {expect_materialized}):\n{final}")
+    assert "ReusedExchange" in final, final
+
+
 def test_prefix_sum_range_exchange_computed_once(spark):
-    """The distributed prefix-sum helpers reference their sampled
-    range exchange from TWO subplans (local cumsum + per-partition
-    totals); offsets are only correct if both branches observe the
-    SAME sampled boundaries (ADVICE r5). Spark guarantees that by
-    materializing the exchange once and wiring the second consumer to
-    a ReusedExchange — pin it: the EXECUTED plan must show exactly one
-    materialized range exchange and at least one ReusedExchange."""
+    """Helper-level gate: each prefix-sum primitive on a raw wide
+    table routes through the skinny projection and reuses its one
+    sampled range exchange."""
     from mini_sql_engine_spark.catalog import Catalog
     from mini_sql_engine_spark.operators import sorting as SO
 
@@ -793,17 +816,39 @@ def test_prefix_sum_range_exchange_computed_once(spark):
             li, "l_quantity", ["l_returnflag"],
             "l_orderkey", "l_linenumber"),
     ):
-        df.collect()  # AQE finalizes reuse at runtime — execute first
-        p = df._jdf.queryExecution().executedPlan().toString()
-        # the adaptive plan string appends the pre-reuse "Initial
-        # Plan" — judge only what actually ran
-        final = p.split("== Initial Plan ==")[0]
-        # a ReusedExchange node's own line echoes the reused
-        # exchange's description — count only true materializations
-        n_range = sum(
-            1 for ln in final.splitlines()
-            if "Exchange rangepartitioning" in ln
-            and "ReusedExchange" not in ln)
-        assert n_range == 1, (
-            f"range exchange materialized {n_range}x:\n{final}")
-        assert "ReusedExchange" in final, final
+        assert_range_exchange_reused(df)
+
+
+# Every registry Qkey built on the prefix-sum helpers, with the
+# number of range exchanges its plan legitimately materializes
+# (weighted_sample invokes the prefix-sum twice on different
+# frames).  A new caller that defeats exchange canonicalization
+# (e.g. ranks a wide frame directly) silently reintroduces
+# independently-sampled boundaries → wrong offsets at scale; add it
+# here when it lands.
+PREFIX_SUM_CALLER_KEYS = {
+    "order_by": 1,
+    "ntile_bucket": 1,
+    "weighted_sample": 2,
+    "pareto_abc": 1,
+    "weighted_median": 1,
+    "score_calibration": 1,
+    "gini_index": 1,
+    "score_auc": 1,
+    "ks_test": 1,
+    "seq_pack": 1,
+    "pack_stats": 1,
+}
+
+
+def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
+    """End-to-end gate over every registry caller of the prefix-sum
+    machinery (VERDICT r6 ask #3): the executed plan of each Qkey
+    must materialize exactly the expected number of range exchanges
+    and wire every second consumer to a ReusedExchange."""
+    for qkey, expect in PREFIX_SUM_CALLER_KEYS.items():
+        try:
+            assert_range_exchange_reused(
+                Q.QUERIES[qkey](spark, SF_SMOKE), expect)
+        except AssertionError as exc:
+            raise AssertionError(f"{qkey}: {exc}") from exc
