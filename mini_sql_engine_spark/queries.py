@@ -4974,15 +4974,24 @@ def welch_ttest(spark, sf_dir):
     conditional aggregate over the fact; everything after is 1-row
     arithmetic.
 
-    CENTS DISCIPLINE: the power sums accumulate as SCALE-0 decimals
-    (integer cents) and convert to double ONCE, dividing by the
-    power of ten afterwards in IEEE — a scaled decimal like
-    DECIMAL(38,4) converts differently across engines (DuckDB
-    int128→double then ÷10⁴ double-rounds; Spark's BigDecimal cast
-    rounds once) and diverged by 1 ULP at sf0.001."""
+    CENTS DISCIPLINE: the power sums accumulate as exact integer
+    cents and convert to double ONCE, dividing by the power of ten
+    afterwards in IEEE — a scaled decimal like DECIMAL(38,4) converts
+    differently across engines (DuckDB int128→double then ÷10⁴
+    double-rounds; Spark's BigDecimal cast rounds once) and diverged
+    by 1 ULP at sf0.001.  Per-row math is BIGINT (VERDICT r6 ask #5 —
+    the r5 DECIMAL(38) per-row multiply cost 2×): prices are
+    0.01-granular so round(x·100) is an exact long injection with
+    cents ≤ 1.05e7, cents² ≤ 1.1e14 — safe in a long per row.  Only
+    the accumulators that can exceed the 9.2e18 long range widen:
+    Σcents² overflows long already at sf0.1 so it sums as
+    DECIMAL(38,0) (one cheap long→decimal cast per row, int128
+    accumulation); Σcents stays a long sum (≤ 2.3e18 even at the
+    100 TB row count, 4× headroom; ANSI mode errors loudly past
+    that rather than corrupting)."""
     li = Catalog(spark, sf_dir).table("lineitem")
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
-        .cast("decimal(20,0)")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    sq = (cents * cents).cast("decimal(38,0)")
     is_a = F.col("l_returnflag") == "A"
     is_r = F.col("l_returnflag") == "R"
     agg = li.groupBy().agg(
@@ -4990,10 +4999,8 @@ def welch_ttest(spark, sf_dir):
         F.count_if(is_r).alias("n_r"),
         F.sum(F.when(is_a, cents)).cast("double").alias("_s1a"),
         F.sum(F.when(is_r, cents)).cast("double").alias("_s1r"),
-        F.sum(F.when(is_a, cents.cast("decimal(38,0)") * cents))
-        .cast("double").alias("_s2a"),
-        F.sum(F.when(is_r, cents.cast("decimal(38,0)") * cents))
-        .cast("double").alias("_s2r"),
+        F.sum(F.when(is_a, sq)).cast("double").alias("_s2a"),
+        F.sum(F.when(is_r, sq)).cast("double").alias("_s2r"),
     )
 
     def var_of(s1, s2, n):  # sample variance from exact cents sums
@@ -5390,17 +5397,23 @@ def regr_residuals(spark, sf_dir):
     y, x = F.col("l_extendedprice").cast("double"), \
         F.col("l_quantity").cast("double")
     xq = F.col("l_quantity").cast("bigint")
-    # cents discipline (see welch_ttest): scale-0 decimal sums, one
-    # decimal->double conversion, ÷10^k in IEEE afterwards
-    yc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
-        .cast("decimal(20,0)")
+    # cents discipline (see welch_ttest): exact integer-cents sums,
+    # one exact->double conversion, ÷10^k in IEEE afterwards.
+    # Per-row math is BIGINT (VERDICT r6 ask #5): yc ≤ 1.05e7 and
+    # xq ≤ 50, so yc², yc·xq fit a long per row; the accumulators
+    # that outgrow long at the 100 TB row count (Σyc² already at
+    # sf0.1, Σyc·xq ≈ 5.7e19) widen to DECIMAL(38,0) via one cheap
+    # long→decimal cast per row, the rest stay long sums.
+    yc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     sums = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(xq).cast("double").alias("_sx"),
         F.sum(xq * xq).cast("double").alias("_sxx"),
         F.sum(yc).cast("double").alias("_syc"),
-        F.sum(yc.cast("decimal(38,0)") * yc).cast("double").alias("_syyc"),
-        F.sum(yc * xq).cast("double").alias("_sxyc"),
+        F.sum((yc * yc).cast("decimal(38,0)")).cast("double")
+        .alias("_syyc"),
+        F.sum((yc * xq).cast("decimal(38,0)")).cast("double")
+        .alias("_sxyc"),
     )
     n = F.col("_n")
     sx, sxx = F.col("_sx"), F.col("_sxx")
