@@ -122,6 +122,16 @@ SF1_KEYS = [
     "winsorize_approx", "weighted_median", "welch_ttest",
     "heavy_hitters", "bloom_prefilter", "impute_mean",
     "name_blocking_pairs", "benford_digits", "cohort_revenue",
+    # round-20 statistics shapes (VERDICT r6 ask #4): the prefix-sum
+    # consumers (ks_test/score_auc on distinct-value CDFs, gini's
+    # grouped running total) and the per-char/per-vector heavyweights.
+    # The blow-up now replicates documents/embeddings too (disjoint
+    # doc_id/vec_id universes), so these run on a true 10× input.
+    # label_noise deliberately re-runs the BRUTE-FORCE kNN witness
+    # (queries × corpus both scale ⇒ ~copies² work by construction) —
+    # its factor documents that quadratic honestly; the at-scale
+    # kernel for the same audit is the ANN path (sim_ann/sim_ivf).
+    "ks_test", "score_auc", "gini_index", "char_entropy", "label_noise",
 ]
 
 
@@ -140,7 +150,7 @@ def maybe_bench_sf1(spark, base_sf_dir: str, base_sf: float):
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        marker = os.path.join(out, f".built_{copies}")
+        marker = os.path.join(out, f".built_v2_{copies}")
         if not os.path.exists(marker):
             mod.build(spark, base_sf_dir, out, copies)
             with open(marker, "w") as fh:

@@ -41,6 +41,12 @@ KEYS = {
     "customer": ["c_custkey", "c_nationkey"],
     "supplier": ["s_suppkey", "s_nationkey"],
     "part": ["p_partkey"],
+    # round 7: documents/embeddings join nothing else, so replicating
+    # them with offset ids gives the text/vector Qkeys a real 10×
+    # input too (the offset is ≡0 mod 10, preserving the vec_id%10
+    # query-set residue the kNN keys select on)
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 # nation/region are dimensions — copied once, keys must keep matching,
 # so nationkeys are NOT offset (c_nationkey/s_nationkey offsets would
@@ -65,7 +71,7 @@ def scale_table(df: DataFrame, keys: list[str], copies: int) -> DataFrame:
 
 def build(spark, src: str, dst: str, copies: int) -> None:
     cat = Catalog(spark, src)
-    for t in ["region", "nation", "events", "documents", "embeddings"]:
+    for t in ["region", "nation", "events"]:
         cat.table(t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     for t, keys in KEYS.items():
         scale_table(cat.table(t), keys, copies).write.mode(
@@ -99,7 +105,7 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark(app_name="stress-scale")
-    marker = os.path.join(args.out, f".built_{args.copies}")
+    marker = os.path.join(args.out, f".built_v2_{args.copies}")
     if not os.path.exists(marker):
         t0 = time.time()
         build(spark, args.src, args.out, args.copies)
