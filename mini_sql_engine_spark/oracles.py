@@ -4435,3 +4435,63 @@ SELECT 'customer.c_nationkey->nation',
 FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
   ON c.c_nationkey = n.n_nationkey
 """
+
+# ────────────── round-7 additions ──────────────────
+
+ORACLES["token_len_buckets"] = """
+WITH n AS (
+  SELECT len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS nt
+  FROM documents
+)
+SELECT (1::BIGINT << (length(bin(nt)) - 1)) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens
+FROM n GROUP BY 1
+"""
+
+ORACLES["smoothed_rates"] = """
+WITH per AS (
+  SELECT event_type, count(*) AS n, count_if(value > 100.0) AS h
+  FROM events GROUP BY 1
+), g AS (
+  SELECT count(*) AS gn, count_if(value > 100.0) AS gh FROM events
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(h AS BIGINT) AS n_high,
+       CAST(h AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+       (CAST(h AS DOUBLE)
+        + 5.0 * (CAST(gh AS DOUBLE) / CAST(gn AS DOUBLE)))
+       / (CAST(n AS DOUBLE) + 5.0) AS smoothed_rate
+FROM per CROSS JOIN g
+"""
+
+ORACLES["order_interarrival"] = """
+WITH gaps AS (
+  SELECT o_orderdate::DATE - lag(o_orderdate::DATE) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS gap
+  FROM orders
+)
+SELECT CASE WHEN gap = 0 THEN '0'
+            WHEN gap <= 7 THEN '1-7'
+            WHEN gap <= 30 THEN '8-30'
+            WHEN gap <= 90 THEN '31-90'
+            WHEN gap <= 365 THEN '91-365'
+            ELSE '365+' END AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_gap_days
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+ORACLES["crosstab_counts"] = """
+SELECT o_orderpriority AS priority,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS n_p,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM orders GROUP BY 1
+"""

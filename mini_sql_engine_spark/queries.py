@@ -6231,6 +6231,111 @@ def fk_orphans(spark, sf_dir):
     return out
 
 
+# ────────────── §2.31 round-7 additions ──────────────────
+
+
+def token_len_buckets(spark, sf_dir):
+    """Power-of-two histogram of per-document BPE-style token counts
+    — the sequence-length profile a training pipeline reads before
+    choosing a packing context length (`seq_pack`'s sibling: what
+    fraction of docs land in each 2^k length class, and how many
+    tokens each class contributes). The exponent is PURE INTEGER
+    (length of the binary representation — no libm log2 whose
+    last-ulp behavior differs across engines), so the whole result is
+    exact integers: one map-side expression + one hash aggregate."""
+    d = Catalog(spark, sf_dir).table("documents")
+    n = TX.bpe_token_count("text").cast("long")
+    lo = F.expr("shiftleft(1L, length(bin(_nt)) - 1)")
+    return (
+        d.select(n.alias("_nt"))
+        .select(lo.alias("bucket_lo"), F.col("_nt"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("_nt").cast("long").alias("sum_tokens"))
+    )
+
+
+def smoothed_rates(spark, sf_dir):
+    """Empirical-Bayes (add-k, k=5) smoothed high-value-event rate
+    per event type — the CTR-style estimator that keeps small
+    segments from whipsawing a dashboard: shrink each segment's raw
+    rate toward the global prior by k pseudo-observations. All
+    inputs are exact integers (one conditional aggregate + a 1-row
+    broadcast prior); rates are single IEEE divisions on identical
+    operands — no rounding needed."""
+    ev = Catalog(spark, sf_dir).table("events")
+    hit = F.col("value") > 100.0
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"), F.count_if(hit).alias("_h"))
+    glob = ev.agg(F.count(F.lit(1)).alias("_gn"),
+                  F.count_if(hit).alias("_gh"))
+    prior = F.col("_gh").cast("double") / F.col("_gn").cast("double")
+    return (
+        per.crossJoin(F.broadcast(glob))  # 1-row scalar
+        .select(
+            "event_type",
+            F.col("_n").cast("long").alias("n_events"),
+            F.col("_h").cast("long").alias("n_high"),
+            (F.col("_h").cast("double") / F.col("_n").cast("double"))
+            .alias("raw_rate"),
+            ((F.col("_h").cast("double") + F.lit(5.0) * prior)
+             / (F.col("_n").cast("double") + F.lit(5.0)))
+            .alias("smoothed_rate"),
+        )
+    )
+
+
+def order_interarrival(spark, sf_dir):
+    """Inter-order gap distribution: days between a customer's
+    consecutive orders, bucketed into the retention bands a
+    lifecycle team watches (0 = same-day reorder … 365+ = dormant
+    reactivation). The lag runs inside per-customer partitions
+    (bounded cardinality — shuffle-parallel at any scale, never a
+    global window); buckets and the mean gap are exact integers and
+    one exact int/int division."""
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    g = F.col("_gap")
+    bucket = (F.when(g == 0, "0")
+              .when(g <= 7, "1-7")
+              .when(g <= 30, "8-30")
+              .when(g <= 90, "31-90")
+              .when(g <= 365, "91-365")
+              .otherwise("365+"))
+    return (
+        o.select(gap.alias("_gap"))
+        .filter(F.col("_gap").isNotNull())
+        .groupBy(bucket.alias("gap_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+             (F.sum("_gap").cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("avg_gap_days"))
+    )
+
+
+def crosstab_counts(spark, sf_dir):
+    """Contingency table (order priority × status) as a PIVOTED wide
+    row — the `df.stat.crosstab` surface with a pinned column set so
+    the schema is stable under data drift (an unpinned pivot scans
+    twice to discover labels and can change width between runs).
+    One hash aggregate; counts exact."""
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "priority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+        )
+        .withColumn("n_total",
+                    (F.col("n_f") + F.col("n_o") + F.col("n_p"))
+                    .cast("long"))
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -6275,6 +6380,10 @@ QUERIES: dict[str, QueryFn] = {
     "psi_drift": psi_drift,
     "fk_orphans": fk_orphans,
     # ─── round-7 additions (new hash-checked ops, ungreen) ───
+    "token_len_buckets": token_len_buckets,
+    "smoothed_rates": smoothed_rates,
+    "order_interarrival": order_interarrival,
+    "crosstab_counts": crosstab_counts,
     # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) —
     #     rotated into the front-50 this round for driver rows/schema
     #     evidence (VERDICT r6 ask #1) ───
