@@ -4495,3 +4495,117 @@ SELECT o_orderpriority AS priority,
        CAST(count(*) AS BIGINT) AS n_total
 FROM orders GROUP BY 1
 """
+
+ORACLES["herfindahl"] = """
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT c_mktsegment, count(*) AS k, sum(r) AS s, sum(r * r) AS s2
+  FROM per_cust GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(k AS BIGINT) AS n_customers,
+       CAST(s2 AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         AS hhi,
+       1.0::DOUBLE
+         / (CAST(s2 AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+         AS effective_customers
+FROM agg
+"""
+
+ORACLES["jaccard_event_types"] = """
+WITH s AS (
+  SELECT DISTINCT event_type, user_id, strftime(ts, '%Y-%m-%d') AS d
+  FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM s GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS i
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND a.d = b.d
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       CAST(i AS BIGINT) AS n_common,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes na ON na.event_type = type_a
+JOIN sizes nb ON nb.event_type = type_b
+"""
+
+ORACLES["skew_profile"] = """
+WITH f1 AS (SELECT count(*) AS f FROM lineitem GROUP BY l_partkey),
+     f2 AS (SELECT count(*) AS f FROM lineitem GROUP BY l_suppkey),
+     f3 AS (SELECT count(*) AS f FROM orders GROUP BY o_custkey),
+     f4 AS (SELECT count(*) AS f FROM events GROUP BY user_id)
+SELECT 'lineitem.l_partkey' AS key_col,
+       CAST(sum(f) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       quantile_cont(CAST(f AS DOUBLE), 0.99) AS p99_freq,
+       CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         / CAST(sum(f) AS DOUBLE) AS skew_ratio
+FROM f1
+UNION ALL
+SELECT 'lineitem.l_suppkey', CAST(sum(f) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
+       quantile_cont(CAST(f AS DOUBLE), 0.99),
+       CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         / CAST(sum(f) AS DOUBLE)
+FROM f2
+UNION ALL
+SELECT 'orders.o_custkey', CAST(sum(f) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
+       quantile_cont(CAST(f AS DOUBLE), 0.99),
+       CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         / CAST(sum(f) AS DOUBLE)
+FROM f3
+UNION ALL
+SELECT 'events.user_id', CAST(sum(f) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
+       quantile_cont(CAST(f AS DOUBLE), 0.99),
+       CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         / CAST(sum(f) AS DOUBLE)
+FROM f4
+"""
+
+ORACLES["cuped_adjust"] = """
+WITH j AS (
+  SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT count(*) AS gn,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y) AS DOUBLE) AS sy
+  FROM j
+), per AS (
+  SELECT treated, count(*) AS pn,
+         CAST(sum(y) AS DOUBLE) AS py,
+         CAST(sum(x) AS DOUBLE) AS px
+  FROM j GROUP BY 1
+)
+SELECT treated,
+       CAST(pn AS BIGINT) AS n_orders,
+       py / pn / 100.0 AS mean_value,
+       px / pn / 100.0 AS mean_covariate,
+       (sxy - sx * sy / CAST(gn AS DOUBLE))
+         / (sxx - sx * sx / CAST(gn AS DOUBLE)) AS theta,
+       py / pn / 100.0
+         - (sxy - sx * sy / CAST(gn AS DOUBLE))
+           / (sxx - sx * sx / CAST(gn AS DOUBLE))
+           * (px / pn / 100.0 - sx / CAST(gn AS DOUBLE) / 100.0)
+         AS cuped_mean
+FROM per CROSS JOIN g
+"""

@@ -6336,6 +6336,164 @@ def crosstab_counts(spark, sf_dir):
     )
 
 
+def herfindahl(spark, sf_dir):
+    """Herfindahl–Hirschman revenue-concentration index per market
+    segment: Σ shareᵢ² over each segment's customers — the
+    diversification number a marketplace watches (1/HHI = effective
+    customer count). Computed as Σrᵢ²/(Σrᵢ)² on EXACT integer cents
+    (one grouped sum per customer, one per segment) so the index is
+    a single IEEE division on identical operands — no per-row double
+    shares whose sum would be accumulation-order noise. Σr² widens
+    to DECIMAL(38,0) (rᵢ² ≈ 5.6e17 per customer already nears the
+    long range); everything shuffles on bounded keys."""
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(cents).alias("_r"))  # ≤ ~1e9: orders/cust bounded
+    )
+    r = F.col("_r")
+    agg = per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(r.cast("decimal(38,0)")).alias("_s"),
+        F.sum((r * r).cast("decimal(38,0)")).alias("_s2"),
+    )
+    hhi = (F.col("_s2").cast("double")
+           / (F.col("_s").cast("double") * F.col("_s").cast("double")))
+    return agg.select(
+        "c_mktsegment",
+        F.col("_k").cast("long").alias("n_customers"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_customers"),
+    )
+
+
+def jaccard_event_types(spark, sf_dir):
+    """Pairwise Jaccard similarity between event types over their
+    (user, day) activity sets — 'do clickers also purchase, and
+    when?' as a set-similarity matrix. The distinct activity table is
+    bounded by users×days; the pair join fans out at most
+    |types|−1 per activity row (never all-pairs over users); counts
+    exact, Jaccard one exact int division."""
+    ev = Catalog(spark, sf_dir).table("events")
+    s = ev.select(
+        "event_type", "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("_d")).distinct()
+    sizes = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a._d") == F.col("b._d"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    na = F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                  F.col("_n").alias("_na")))
+    nb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                  F.col("_n").alias("_nb")))
+    return (
+        inter.join(na, "type_a").join(nb, "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            F.col("_i").cast("long").alias("n_common"),
+            (F.col("_i").cast("double")
+             / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double"))
+            .alias("jaccard"),
+        )
+    )
+
+
+def skew_profile(spark, sf_dir):
+    """Join-key skew report over the hot FK columns — the diagnostic
+    you run BEFORE choosing a join strategy at 100 TB (max/avg
+    frequency ratio ≫ 1 ⇒ salt or AQE-skew-split; `selfjoin_skew` /
+    `group_agg_salted` are the remedies this report triggers). Per
+    key column: one grouped count (map-side partials), then O(|keys|)
+    stats incl. the exact p99 frequency; the fact is never sorted."""
+    tables = {
+        "lineitem.l_partkey": ("lineitem", "l_partkey"),
+        "lineitem.l_suppkey": ("lineitem", "l_suppkey"),
+        "orders.o_custkey": ("orders", "o_custkey"),
+        "events.user_id": ("events", "user_id"),
+    }
+    parts = []
+    for label, (tname, col) in tables.items():
+        t = Catalog(spark, sf_dir).table(tname)
+        freq = t.groupBy(col).agg(F.count(F.lit(1)).alias("_f"))
+        parts.append(freq.groupBy().agg(
+            F.lit(label).alias("key_col"),
+            F.sum("_f").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("_f").cast("long").alias("max_freq"),
+            F.percentile(F.col("_f").cast("double"), F.lit(0.99))
+            .alias("p99_freq"),
+            (F.max("_f").cast("double")
+             * F.count(F.lit(1)).cast("double")
+             / F.sum("_f").cast("double")).alias("skew_ratio"),
+        ))
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    return out
+
+
+def cuped_adjust(spark, sf_dir):
+    """CUPED variance reduction for an A/B readout: adjust the order-
+    value metric by the pre-experiment covariate (customer account
+    balance), θ = cov(x,y)/var(x) — the standard experimentation
+    trick that cuts metric variance without biasing the diff. θ and
+    both group means derive from EXACT integer-cents power sums
+    (Σx Σy Σxy Σx² as order-free DECIMAL accumulations, products in
+    long per row — xy ≤ 5e13), so every output is one fixed IEEE
+    tree on identical operands in both engines."""
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .alias("_treated"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_y"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("_x"),
+    )
+    g = j.groupBy().agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).cast("double").alias("_sx"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)"))
+        .cast("double").alias("_sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast("decimal(38,0)"))
+        .cast("double").alias("_sxy"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).cast("double").alias("_sy"),
+    )
+    n = F.col("_gn").cast("double")
+    theta = ((F.col("_sxy") - F.col("_sx") * F.col("_sy") / n)
+             / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n))
+    gx = F.col("_sx") / n
+    per = j.groupBy("_treated").agg(
+        F.count(F.lit(1)).alias("_pn"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).cast("double").alias("_py"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).cast("double").alias("_px"),
+    )
+    mean_y = F.col("_py") / F.col("_pn") / F.lit(100.0)
+    mean_x = F.col("_px") / F.col("_pn") / F.lit(100.0)
+    adj = mean_y - theta * (mean_x - gx / F.lit(100.0))
+    return (
+        per.crossJoin(F.broadcast(g))  # 1-row scalar
+        .select(
+            F.col("_treated").alias("treated"),
+            F.col("_pn").cast("long").alias("n_orders"),
+            mean_y.alias("mean_value"),
+            mean_x.alias("mean_covariate"),
+            theta.alias("theta"),
+            adj.alias("cuped_mean"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -6384,6 +6542,10 @@ QUERIES: dict[str, QueryFn] = {
     "smoothed_rates": smoothed_rates,
     "order_interarrival": order_interarrival,
     "crosstab_counts": crosstab_counts,
+    "herfindahl": herfindahl,
+    "jaccard_event_types": jaccard_event_types,
+    "skew_profile": skew_profile,
+    "cuped_adjust": cuped_adjust,
     # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) —
     #     rotated into the front-50 this round for driver rows/schema
     #     evidence (VERDICT r6 ask #1) ───
