@@ -4609,3 +4609,129 @@ SELECT treated,
          AS cuped_mean
 FROM per CROSS JOIN g
 """
+
+ORACLES["cramers_v"] = """
+WITH obs AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS o
+  FROM orders GROUP BY 1, 2
+), rowm AS (
+  SELECT o_orderpriority, count(*) AS r FROM orders GROUP BY 1
+), colm AS (
+  SELECT o_orderstatus, count(*) AS c FROM orders GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM orders),
+cells AS (
+  SELECT n,
+         o_orderpriority, o_orderstatus,
+         CAST(round(
+           ((CAST(o AS DOUBLE)
+             - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            ^ 2)
+           / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * 1e6) AS BIGINT) AS mu
+  FROM obs JOIN rowm USING (o_orderpriority)
+           JOIN colm USING (o_orderstatus)
+           CROSS JOIN tot
+), agg AS (
+  SELECT max(n) AS n,
+         count(DISTINCT o_orderpriority) AS nr,
+         count(DISTINCT o_orderstatus) AS nc,
+         sum(mu) AS summu
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(least(nr - 1, nc - 1) AS BIGINT) AS min_dim,
+       CAST(summu AS DOUBLE) / 1e6 AS chi2,
+       sqrt((CAST(summu AS DOUBLE) / 1e6)
+            / (CAST(n AS DOUBLE) * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
+         AS cramers_v
+FROM agg
+"""
+
+ORACLES["decile_lift"] = """
+WITH bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i) gs
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), scores AS (
+  SELECT doc_id,
+         round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+         + 0.0 AS s
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+), gate AS (
+  SELECT doc_id,
+         CAST(NOT (n < 5) AND NOT ((n - nd) * 10 > n * 4)
+              AND NOT (ns * 10 > n * 4) AS BIGINT) AS keep
+  FROM (
+    SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+           len(list_filter(tk,
+               t -> list_contains(['the', 'a', 'is', 'of'], t))) AS ns
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents))
+), j AS (
+  SELECT s.doc_id, s.s, g.keep
+  FROM scores s JOIN gate g USING (doc_id)
+), t AS (
+  SELECT keep, ntile(10) OVER (ORDER BY s, doc_id) AS decile FROM j
+), g AS (SELECT count(*) AS gn, sum(keep) AS gk FROM j)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate,
+       (CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         / (CAST(max(gk) AS DOUBLE) / CAST(max(gn) AS DOUBLE)) AS lift
+FROM t CROSS JOIN g
+GROUP BY decile
+"""
+
+ORACLES["spearman_corr"] = """
+WITH f AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS xv,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yv
+  FROM lineitem
+), xc AS (SELECT g, xv, count(*) AS c FROM f GROUP BY 1, 2),
+xr AS (
+  SELECT g, xv,
+         2 * sum(c) OVER (PARTITION BY g ORDER BY xv
+                          ROWS UNBOUNDED PRECEDING) - c + 1 AS r2x
+  FROM xc
+), yc AS (SELECT g, yv, count(*) AS c FROM f GROUP BY 1, 2),
+yr AS (
+  SELECT g, yv,
+         2 * sum(c) OVER (PARTITION BY g ORDER BY yv
+                          ROWS UNBOUNDED PRECEDING) - c + 1 AS r2y
+  FROM yc
+), ranked AS (
+  SELECT f.g, r2x, r2y
+  FROM f JOIN xr ON f.g = xr.g AND f.xv = xr.xv
+         JOIN yr ON f.g = yr.g AND f.yv = yr.yv
+), s AS (
+  SELECT g, count(*) AS n,
+         CAST(sum(r2x) AS DOUBLE) AS sx,
+         CAST(sum(r2y) AS DOUBLE) AS sy,
+         CAST(sum(r2x * r2x) AS DOUBLE) AS sxx,
+         CAST(sum(r2y * r2y) AS DOUBLE) AS syy,
+         CAST(sum(r2x * r2y) AS DOUBLE) AS sxy
+  FROM ranked GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+       + 0.0 AS spearman_rho
+FROM s
+"""
+
+ORACLES["iqr_scale_approx"] = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(l_quantity AS BIGINT) AS qty,
+       TRUE AS ok_scaled
+FROM lineitem
+"""

@@ -6494,6 +6494,185 @@ def cuped_adjust(spark, sf_dir):
     )
 
 
+def cramers_v(spark, sf_dir):
+    """Cramér's V association strength between order priority and
+    status — `chi_square_cells`' single-number summary, the effect
+    size a drift monitor thresholds on (χ² alone grows with n; V is
+    scale-free in [0,1]). A global χ² sum of double cell terms would
+    be accumulation-order noise, so each cell's contribution is
+    rounded to exact integer MICRO-units (the per-cell doubles are
+    cross-engine identical — `chi_square_cells` hash-proves that —
+    hence so is each µ integer) and the sum runs exact; χ², dof and
+    V are then one fixed IEEE tree. Tiny broadcast marginals; one
+    pass over the fact."""
+    o = Catalog(spark, sf_dir).table("orders")
+    obs = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("_o"))
+    rowm = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("_r"))
+    colm = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("_c"))
+    tot = o.agg(F.count(F.lit(1)).alias("_n"))
+    e = (F.col("_r").cast("double") * F.col("_c").cast("double")
+         / F.col("_n").cast("double"))
+    contrib = ((F.col("_o").cast("double") - e) ** 2) / e
+    cells = (obs.join(F.broadcast(rowm), "o_orderpriority")
+             .join(F.broadcast(colm), "o_orderstatus")
+             .crossJoin(F.broadcast(tot))  # 1-row scalar
+             .select("o_orderpriority", "o_orderstatus", "_n",
+                     F.round(contrib * 1e6, 0).cast("long").alias("_mu")))
+    agg = cells.groupBy().agg(
+        F.max("_n").alias("_n"),
+        F.count_distinct("o_orderpriority").alias("_nr"),
+        F.count_distinct("o_orderstatus").alias("_nc"),
+        F.sum("_mu").alias("_summu"),
+    )
+    chi2 = F.col("_summu").cast("double") / F.lit(1e6)
+    dof = F.least(F.col("_nr") - 1, F.col("_nc") - 1)
+    return agg.select(
+        F.col("_n").cast("long").alias("n_orders"),
+        dof.cast("long").alias("min_dim"),
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / (F.col("_n").cast("double") * dof.cast("double")))
+        .alias("cramers_v"),
+    )
+
+
+def decile_lift(spark, sf_dir):
+    """Score-decile lift table: rank documents by the fluency score
+    (`lm_score`), cut into 10 equal-depth buckets WITHOUT a
+    single-task global ntile (the distributed rank machinery +
+    the exact ntile arithmetic `ntile_bucket` hash-proved), and
+    report each decile's quality-gate keep rate against the global
+    rate — the model-eval readout that says WHERE a score separates
+    (`score_auc` says only whether). Counts exact; rates and lift
+    are exact int divisions in one IEEE tree."""
+    sc = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    kp = quality_gate(spark, sf_dir).select("doc_id", "keep")
+    j = sc.join(kp, "doc_id")
+    ranked = SO.with_rank(
+        j, F.col("avg_logprob"), F.col("doc_id"), alias="rn")
+    n_df = j.agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum("keep").alias("_gk"))
+    decile = F.expr(
+        "CASE WHEN rn <= (_n % 10) * (_n div 10 + 1) "
+        "THEN (rn - 1) div (_n div 10 + 1) + 1 "
+        "ELSE (_n % 10) + (rn - 1 - (_n % 10) * (_n div 10 + 1)) "
+        "div greatest(_n div 10, 1) + 1 "
+        "END"
+    ).cast("long")
+    keep_rate = (F.sum("keep").cast("double")
+                 / F.count(F.lit(1)).cast("double"))
+    return (
+        ranked.crossJoin(F.broadcast(n_df))  # 1-row scalar
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            keep_rate.alias("keep_rate"),
+            (keep_rate
+             / (F.max("_gk").cast("double") / F.max("_n").cast("double")))
+            .alias("lift"),
+        )
+    )
+
+
+def spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (quantity vs extended price) per
+    return flag — the monotone-association screen that survives
+    outliers and nonlinearity where Pearson (`corr_matrix`) does not.
+    Tied ranks use the standard mid-rank, carried as EXACT integers
+    in half-units (2·avgrank = 2·cum − c + 1): per variable, the
+    DISTINCT-value table + the GROUPED distributed prefix-sum give
+    every value its mid-rank with no per-group single-task window;
+    two joins pin ranks back to fact rows and one aggregate forms
+    exact DECIMAL power sums (per-row products widen to DECIMAL —
+    r2² outgrows a long once a group exceeds ~1.5e9 rows). ρ is then
+    one fixed IEEE tree; round(6) absorbs nothing but the display."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    f = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("_xv"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("_yv"),
+    )
+
+    def r2_table(val_col: str, alias: str):
+        cnt = f.groupBy("l_returnflag", val_col).agg(
+            F.count(F.lit(1)).alias("_c"))
+        cum = SO.with_grouped_running_total(
+            cnt, "_c", ["l_returnflag"], val_col, alias="_cum")
+        return cum.select(
+            "l_returnflag", val_col,
+            (2 * F.col("_cum") - F.col("_c") + 1).alias(alias))
+
+    xr = r2_table("_xv", "_r2x")
+    yr = r2_table("_yv", "_r2y")
+    ranked = (f.join(xr, ["l_returnflag", "_xv"])
+              .join(yr, ["l_returnflag", "_yv"]))
+    dec = lambda c: c.cast("decimal(20,0)")  # noqa: E731
+    s = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_r2x").cast("double").alias("_sx"),
+        F.sum("_r2y").cast("double").alias("_sy"),
+        F.sum(dec(F.col("_r2x")) * F.col("_r2x")).cast("double")
+        .alias("_sxx"),
+        F.sum(dec(F.col("_r2y")) * F.col("_r2y")).cast("double")
+        .alias("_syy"),
+        F.sum(dec(F.col("_r2x")) * F.col("_r2y")).cast("double")
+        .alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    cov2 = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return s.select(
+        "l_returnflag",
+        F.col("_n").cast("long").alias("n_rows"),
+        F.round(cov2 / (F.sqrt(varx) * F.sqrt(vary)), 6)
+        .alias("spearman_rho"),
+    )
+
+
+def iqr_scale_approx(spark, sf_dir):
+    """`iqr_scale`'s documented 100 TB swap, shipped: per-group
+    APPROX quartiles (Greenwald–Khanna sketch — one mergeable
+    streaming pass, no per-group exact percentile sort) drive the
+    robust scaling, and the output is a per-row *tolerance
+    certificate* against the exact scaling (the `percentiles_approx`
+    pattern): the DuckDB twin asserts TRUE trivially, so the driver
+    hash passes iff every approximately-scaled row really is within
+    tolerance of the exact one — an accuracy contract on the whole
+    derived column, not an unverifiable sketch dump. Tolerance
+    0.02·|exact| + 0.25 covers the worst ANALYTIC discrete-value
+    snap on integer quantities (≈0.13: ±1-unit quartile shifts over
+    an IQR of ~24); the MEASURED worst |Δ| is 0.0 at sf0.001/0.01/
+    0.1 — the sketch is rank-exact there (n·ε ≤ 60 ranks never
+    crosses a value boundary on 50 distinct quantities)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    q = F.col("l_quantity").cast("double")
+    th = li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("_eq1"),
+        F.percentile(q, F.lit(0.5)).alias("_emed"),
+        F.percentile(q, F.lit(0.75)).alias("_eq3"),
+        F.approx_percentile(q, F.lit(0.25), F.lit(10_000)).alias("_aq1"),
+        F.approx_percentile(q, F.lit(0.5), F.lit(10_000)).alias("_amed"),
+        F.approx_percentile(q, F.lit(0.75), F.lit(10_000)).alias("_aq3"),
+    )
+    se = F.when(F.col("_eq3") != F.col("_eq1"),
+                (q - F.col("_emed")) / (F.col("_eq3") - F.col("_eq1")))
+    sa = F.when(F.col("_aq3") != F.col("_aq1"),
+                (q - F.col("_amed")) / (F.col("_aq3") - F.col("_aq1")))
+    ok = F.when(se.isNull() | sa.isNull(), se.isNull() & sa.isNull()) \
+        .otherwise(F.abs(sa - se) <= F.lit(0.02) * F.abs(se) + F.lit(0.25))
+    return (
+        li.join(F.broadcast(th), "l_returnflag")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            F.col("l_quantity").cast("long").alias("qty"),
+            ok.alias("ok_scaled"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -6546,6 +6725,10 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_event_types": jaccard_event_types,
     "skew_profile": skew_profile,
     "cuped_adjust": cuped_adjust,
+    "cramers_v": cramers_v,
+    "decile_lift": decile_lift,
+    "spearman_corr": spearman_corr,
+    "iqr_scale_approx": iqr_scale_approx,
     # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) —
     #     rotated into the front-50 this round for driver rows/schema
     #     evidence (VERDICT r6 ask #1) ───

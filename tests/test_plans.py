@@ -838,6 +838,11 @@ PREFIX_SUM_CALLER_KEYS = {
     "ks_test": 1,
     "seq_pack": 1,
     "pack_stats": 1,
+    # round-7 additions: spearman ranks two variables (one reused
+    # range exchange each); decile_lift ranks the skinny score
+    # projection and joins it back
+    "spearman_corr": 2,
+    "decile_lift": 2,
 }
 
 
