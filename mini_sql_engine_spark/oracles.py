@@ -4735,3 +4735,8 @@ SELECT l_orderkey, l_linenumber, l_returnflag,
        TRUE AS ok_scaled
 FROM lineitem
 """
+
+
+# The readStream twin must reproduce the batch tumbling result
+# bit-for-bit (availableNow drain, in-order data): same oracle.
+ORACLES["stream_tumbling"] = ORACLES["win_tumbling"]

@@ -6673,6 +6673,41 @@ def iqr_scale_approx(spark, sf_dir):
     )
 
 
+def stream_tumbling(spark, sf_dir):
+    """`win_tumbling`'s TRUE Structured-Streaming twin, hash-checked
+    against the same batch oracle: a file-source readStream over the
+    events parquet (explicit schema — no inference pass), the
+    IDENTICAL `tumbling_counts` transformation with a 1-hour
+    watermark, drained once with ``trigger(availableNow=True)`` into
+    a memory sink and returned as the materialized batch result.
+    In-order replayed data loses nothing to the watermark, so the
+    stream must reproduce the batch result bit-for-bit — the
+    batch/stream unification contract (§2.9) as a driver-checkable
+    hash rather than a pytest-only claim. At scale the memory sink
+    swaps for parquet/foreachBatch (streaming/jobs.py sinks);
+    watermark state stays bounded per (window, event_type)."""
+    import hashlib
+    import os
+    import shutil
+
+    from mini_sql_engine_spark.streaming import jobs as SJ
+
+    Catalog(spark, sf_dir)  # registers the ns-timestamp parquet confs
+    # FileStreamSource requires a DIRECTORY; the test data ships the
+    # table as a single file — stage it once into a per-sf dir (at
+    # scale the landing zone is a directory already and this is moot)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/spark_graft_stream_events_{tag}"
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet",
+                    os.path.join(stage, "events.parquet"))
+    ev = SJ.stream_events(spark, stage)
+    out = SJ.streaming_tumbling_counts(ev)
+    return SJ.run_to_memory(spark, out, "stream_tumbling_sink").select(
+        "ws", "event_type", "n_events", "sum_value")
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -6729,6 +6764,7 @@ QUERIES: dict[str, QueryFn] = {
     "decile_lift": decile_lift,
     "spearman_corr": spearman_corr,
     "iqr_scale_approx": iqr_scale_approx,
+    "stream_tumbling": stream_tumbling,
     # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) —
     #     rotated into the front-50 this round for driver rows/schema
     #     evidence (VERDICT r6 ask #1) ───
