@@ -846,6 +846,37 @@ PREFIX_SUM_CALLER_KEYS = {
 }
 
 
+ROUND7_KEYS = [
+    "token_len_buckets", "smoothed_rates", "order_interarrival",
+    "crosstab_counts", "herfindahl", "jaccard_event_types",
+    "skew_profile", "cuped_adjust", "cramers_v", "decile_lift",
+    "spearman_corr", "iqr_scale_approx",
+]
+# 1-row scalar broadcasts (global totals / priors / n for the ntile
+# arithmetic) plan as BroadcastNestedLoopJoin — bounded by contract
+ROUND7_SCALAR_NLJ_OK = {"smoothed_rates", "cuped_adjust", "cramers_v",
+                        "decile_lift"}
+
+
+def test_round7_shapes_stay_jvm_side(spark):
+    """Round-7 additions: no Python crossing anywhere, no nested
+    loop except the declared 1-row scalar broadcasts."""
+    for qkey in ROUND7_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        if qkey not in ROUND7_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
+def test_round7_small_sides_broadcast(spark):
+    """The tiny threshold/marginal tables must reach the fact as
+    broadcasts, never shuffled joins."""
+    for qkey in ("iqr_scale_approx", "jaccard_event_types"):
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in p, f"{qkey}:\n{p}"
+
+
 def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
     """End-to-end gate over every registry caller of the prefix-sum
     machinery (VERDICT r6 ask #3): the executed plan of each Qkey
