@@ -132,6 +132,14 @@ SF1_KEYS = [
     # its factor documents that quadratic honestly; the at-scale
     # kernel for the same audit is the ANN path (sim_ann/sim_ivf).
     "ks_test", "score_auc", "gini_index", "char_entropy", "label_noise",
+    # round-7 cycle-3 shapes on the replicated facts: the bounded
+    # pair-join Mann-Kendall (days don't scale — factor isolates the
+    # per-day agg), monthly YoY broadcast self-join, (year × brand)
+    # pre-aggregated rank windows, one-pass power-sum partial
+    # correlation, suffix-sum Kaplan-Meier on 10× orders, and the
+    # double prefix-sum RRF fusion on 10× documents.
+    "mk_trend", "yoy_growth", "rank_change", "partial_corr",
+    "km_survival", "rrf_fusion",
 ]
 
 

@@ -4740,3 +4740,394 @@ FROM lineitem
 # The readStream twin must reproduce the batch tumbling result
 # bit-for-bit (availableNow drain, in-order data): same oracle.
 ORACLES["stream_tumbling"] = ORACLES["win_tumbling"]
+
+
+# ───────────── round-7 cycle-3 oracles (§2.32) ─────────────
+# Shared CTE snippets: the lm_score / quality_gate / readability
+# sub-queries reused by the fusion/eval/calibration oracles (kept
+# textually identical to their standalone oracles above).
+
+_SC_CTE = """
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i) gs
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), sc AS (
+  SELECT doc_id,
+         round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+         + 0.0 AS avg_logprob
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+)"""
+
+_KP_CTE = """
+qt AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), qf AS (
+  SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+         len(list_filter(tk,
+             t -> list_contains(['the', 'a', 'is', 'of'], t))) AS ns
+  FROM qt
+), kp AS (
+  SELECT doc_id,
+         CAST(NOT (n < 5) AND NOT ((n - nd) * 10 > n * 4)
+              AND NOT (ns * 10 > n * 4) AS BIGINT) AS keep
+  FROM qf
+)"""
+
+_RD_CTE = """
+rc AS (
+  SELECT doc_id,
+         greatest(1, len(list_filter(string_split(text, ' '),
+                                     t -> t <> ''))) AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+           AS sy
+  FROM documents
+), rd AS (
+  SELECT doc_id,
+         CAST('206.835' AS DOUBLE)
+         - CAST('1.015' AS DOUBLE)
+           * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         - CAST('84.6' AS DOUBLE)
+           * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) AS flesch
+  FROM rc
+)"""
+
+ORACLES["yoy_growth"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(cur.m, '%Y-%m') AS month,
+       CAST(cur.rev AS DOUBLE) AS revenue,
+       CAST(prev.rev AS DOUBLE) AS prev_year_revenue,
+       CAST(cur.rev - prev.rev AS DOUBLE)
+         / CAST(prev.rev AS DOUBLE) * 100 AS yoy_pct
+FROM monthly cur
+LEFT JOIN monthly prev ON cur.m = prev.m + INTERVAL 12 MONTH
+"""
+
+ORACLES["rank_change"] = """
+WITH yb AS (
+  SELECT year(l_shipdate) AS year, p_brand AS brand,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT year, brand, c,
+         row_number() OVER (PARTITION BY year
+                            ORDER BY c DESC, brand) AS rnk
+  FROM yb
+)
+SELECT CAST(year AS BIGINT) AS year, brand,
+       CAST(c AS DOUBLE) / 100 AS revenue,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(lag(rnk) OVER (PARTITION BY brand ORDER BY year)
+            AS BIGINT) AS prev_rnk,
+       CAST(lag(rnk) OVER (PARTITION BY brand ORDER BY year) - rnk
+            AS BIGINT) AS rank_gain
+FROM ranked
+"""
+
+ORACLES["mk_trend"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT sum(CASE WHEN b.r > a.r THEN 1
+                  WHEN b.r < a.r THEN -1 ELSE 0 END) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+), nn AS (
+  SELECT count(*) AS n FROM daily
+), tie AS (
+  SELECT sum(t * (t - 1) * (2 * t + 5)) AS tie
+  FROM (SELECT count(*) AS t FROM daily GROUP BY r)
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18 AS var_s,
+       CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18)
+            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18)
+            ELSE 0.0 END AS z,
+       CASE WHEN (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie
+                                   AS DOUBLE) / 18)
+                       WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie
+                                   AS DOUBLE) / 18)
+                       ELSE 0.0 END) > 1.959964 THEN 'increasing'
+            WHEN (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie
+                                   AS DOUBLE) / 18)
+                       WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie
+                                   AS DOUBLE) / 18)
+                       ELSE 0.0 END) < -1.959964 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM s CROSS JOIN nn CROSS JOIN tie
+"""
+
+ORACLES["cusum_shift"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1
+), seq AS (
+  SELECT d, x, row_number() OVER (ORDER BY d) AS t,
+         sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+), tot AS (
+  SELECT sum(x) AS total, count(*) AS n FROM daily
+), scored AS (
+  SELECT d, t, cum, n, total, abs(n * cum - t * total) AS absc
+  FROM seq CROSS JOIN tot
+  WHERE t < n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       strftime(d, '%Y-%m-%d') AS shift_day,
+       CAST(absc AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum,
+       CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS pre_mean,
+       CAST(total - cum AS DOUBLE) / CAST(n - t AS DOUBLE) AS post_mean
+FROM scored
+ORDER BY absc DESC, d LIMIT 1
+"""
+
+ORACLES["rrf_fusion"] = f"""
+WITH {_SC_CTE}, {_RD_CTE},
+r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY avg_logprob DESC, doc_id)
+         AS rank_lm
+  FROM sc
+), r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY flesch DESC, doc_id)
+         AS rank_read
+  FROM rd
+)
+SELECT doc_id,
+       CAST(rank_lm AS BIGINT) AS rank_lm,
+       CAST(rank_read AS BIGINT) AS rank_read,
+       1.0 / (60.0 + rank_lm) + 1.0 / (60.0 + rank_read) AS rrf
+FROM r1 JOIN r2 USING (doc_id)
+"""
+
+ORACLES["ndcg_eval"] = f"""
+WITH {_SC_CTE}, {_KP_CTE},
+j AS (
+  SELECT sc.doc_id, avg_logprob, keep, lang
+  FROM sc JOIN kp USING (doc_id)
+  JOIN documents USING (doc_id)
+), rankd AS (
+  SELECT lang, keep,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id) AS r1,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY keep DESC, avg_logprob DESC,
+                                     doc_id) AS r2
+  FROM j
+), scored AS (
+  SELECT lang, keep,
+         CASE WHEN r1 <= 20
+              THEN CAST(round(1000000.0 * keep / log2(r1 + 1))
+                        AS BIGINT) ELSE 0 END AS g,
+         CASE WHEN r2 <= 20
+              THEN CAST(round(1000000.0 * keep / log2(r2 + 1))
+                        AS BIGINT) ELSE 0 END AS ig
+  FROM rankd
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(g) AS DOUBLE) / 1000000.0 AS dcg20,
+       CAST(sum(ig) AS DOUBLE) / 1000000.0 AS idcg20,
+       CASE WHEN sum(ig) > 0
+            THEN CAST(sum(g) AS DOUBLE) / CAST(sum(ig) AS DOUBLE)
+            END AS ndcg20
+FROM scored GROUP BY lang
+"""
+
+ORACLES["calibration_ece"] = f"""
+WITH {_SC_CTE}, {_KP_CTE},
+j AS (
+  SELECT sc.doc_id, avg_logprob, keep FROM sc JOIN kp USING (doc_id)
+), mm AS (
+  SELECT min(avg_logprob) AS mn, max(avg_logprob) AS mx FROM j
+), pu AS (
+  SELECT CAST(round(1000000.0 * (avg_logprob - mn) / (mx - mn))
+              AS BIGINT) AS pu,
+         keep
+  FROM j CROSS JOIN mm
+)
+SELECT CAST(least(floor(pu / 100000), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pu) AS DOUBLE) / 1000000.0
+         / CAST(count(*) AS DOUBLE) AS avg_conf,
+       CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate,
+       abs(CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           - CAST(sum(pu) AS DOUBLE) / 1000000.0
+             / CAST(count(*) AS DOUBLE)) AS gap
+FROM pu GROUP BY 1
+"""
+
+ORACLES["partial_corr"] = """
+WITH e AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(round(l_discount * 10000) AS BIGINT) AS z
+  FROM lineitem
+), s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(z) AS DOUBLE) AS sz,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(z * z) AS DOUBLE) AS szz,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * z) AS DOUBLE) AS sxz,
+         CAST(sum(y * z) AS DOUBLE) AS syz
+  FROM e
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r_xy,
+         (CAST(n AS DOUBLE) * sxz - sx * sz)
+         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * szz - sz * sz)) AS r_xz,
+         (CAST(n AS DOUBLE) * syz - sy * sz)
+         / sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
+                * (CAST(n AS DOUBLE) * szz - sz * sz)) AS r_yz
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_rows, r_xy, r_xz, r_yz,
+       (r_xy - r_xz * r_yz)
+       / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)) AS r_xy_given_z
+FROM r
+"""
+
+ORACLES["srm_check"] = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events
+), c AS (
+  SELECT count_if(variant = 'A') AS na,
+         count_if(variant = 'B') AS nb
+  FROM u
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST((na - nb) * (na - nb) AS DOUBLE)
+         / CAST(na + nb AS DOUBLE) AS chi2,
+       CAST((na - nb) * (na - nb) AS DOUBLE)
+         / CAST(na + nb AS DOUBLE) > 3.841459 AS srm_detected
+FROM c
+"""
+
+ORACLES["km_survival"] = """
+WITH gaps AS (
+  SELECT CAST(o_orderdate AS DATE)
+         - lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS t
+  FROM orders
+), obs AS (
+  SELECT t, 1 AS d FROM gaps WHERE t IS NOT NULL
+), cens AS (
+  SELECT (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
+         - max(CAST(o_orderdate AS DATE)) AS t,
+         0 AS d
+  FROM orders GROUP BY o_custkey
+), allt AS (
+  SELECT * FROM obs UNION ALL SELECT * FROM cens
+), at_t AS (
+  SELECT t, count(*) AS c, sum(d) AS d FROM allt GROUP BY t
+), risk AS (
+  SELECT t, d,
+         sum(c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+  FROM at_t
+), ev AS (
+  SELECT t, d, n,
+         CASE WHEN n > d
+              THEN CAST(round(1000000.0
+                   * ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS BIGINT)
+              ELSE 0 END AS lu,
+         min(n - d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           AS minleft
+  FROM risk WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS gap_days,
+       CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN minleft = 0 THEN 0.0
+            ELSE round(exp(CAST(sum(lu) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / 1000000.0), 6) + 0.0 END AS survival
+FROM ev
+"""
+
+ORACLES["poisson_rate_test"] = """
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events
+), m AS (
+  SELECT lo, hi,
+         lo + CAST(floor((hi - lo) / 2) AS INTEGER) AS mid
+  FROM span
+), c AS (
+  SELECT count_if(CAST(ts AS DATE) <= mid) AS n1,
+         count_if(CAST(ts AS DATE) > mid) AS n2
+  FROM events CROSS JOIN m
+)
+SELECT CAST((mid - lo) + 1 AS BIGINT) AS days_1,
+       CAST(hi - mid AS BIGINT) AS days_2,
+       CAST(n1 AS BIGINT) AS n_1,
+       CAST(n2 AS BIGINT) AS n_2,
+       CAST(n1 AS DOUBLE) / CAST((mid - lo) + 1 AS DOUBLE) AS rate_1,
+       CAST(n2 AS DOUBLE) / CAST(hi - mid AS DOUBLE) AS rate_2,
+       (CAST(n1 AS DOUBLE) / CAST((mid - lo) + 1 AS DOUBLE)
+        - CAST(n2 AS DOUBLE) / CAST(hi - mid AS DOUBLE))
+       / sqrt(CAST(n1 AS DOUBLE)
+                / CAST(((mid - lo) + 1) * ((mid - lo) + 1) AS DOUBLE)
+              + CAST(n2 AS DOUBLE)
+                / CAST((hi - mid) * (hi - mid) AS DOUBLE)) AS z
+FROM c CROSS JOIN m
+"""
+
+ORACLES["session_depth_hist"] = """
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                      >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+), depth AS (
+  SELECT user_id, session_seq, count(*)::BIGINT AS depth
+  FROM sess GROUP BY 1, 2
+)
+SELECT (1::BIGINT << (length(bin(depth)) - 1)) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(depth) AS BIGINT) AS sum_events,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM depth GROUP BY 1
+"""
+
+# The readStream twin must reproduce the batch sliding result
+# bit-for-bit (availableNow drain, in-order data): same oracle.
+ORACLES["stream_sliding"] = ORACLES["win_sliding"]

@@ -843,6 +843,9 @@ PREFIX_SUM_CALLER_KEYS = {
     # projection and joins it back
     "spearman_corr": 2,
     "decile_lift": 2,
+    # cycle-3: rrf_fusion ranks two skinny (doc_id, score) frames —
+    # one reused range exchange each
+    "rrf_fusion": 2,
 }
 
 
@@ -873,6 +876,40 @@ def test_round7_small_sides_broadcast(spark):
     """The tiny threshold/marginal tables must reach the fact as
     broadcasts, never shuffled joins."""
     for qkey in ("iqr_scale_approx", "jaccard_event_types"):
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in p, f"{qkey}:\n{p}"
+
+
+ROUND7C3_KEYS = [
+    "yoy_growth", "rank_change", "mk_trend", "cusum_shift",
+    "rrf_fusion", "ndcg_eval", "calibration_ece", "partial_corr",
+    "srm_check", "km_survival", "poisson_rate_test",
+    "session_depth_hist",
+]
+# Declared bounded nested-loop sites (plan-gated by contract):
+# 1-row scalar broadcasts (totals/horizon/span/min-max) and the
+# Mann-Kendall pair join over the bounded (~2.4k-row) per-day table.
+ROUND7C3_SCALAR_NLJ_OK = {"mk_trend", "cusum_shift", "km_survival",
+                          "poisson_rate_test", "calibration_ece"}
+
+
+def test_round7c3_shapes_stay_jvm_side(spark):
+    """Cycle-3 additions: no Python crossing anywhere, no nested
+    loop except the declared scalar/bounded broadcasts
+    (stream_sliding is exercised e2e in tests/test_round22_ops.py —
+    a plan() call would start a streaming query)."""
+    for qkey in ROUND7C3_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        if qkey not in ROUND7C3_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
+def test_round7c3_small_sides_broadcast(spark):
+    """The bounded month/rank side-tables must reach their joins as
+    broadcasts, never shuffled joins."""
+    for qkey in ("yoy_growth", "rrf_fusion"):
         p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
         assert "BroadcastHashJoin" in p, f"{qkey}:\n{p}"
 
