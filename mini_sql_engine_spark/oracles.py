@@ -5131,3 +5131,148 @@ FROM depth GROUP BY 1
 # The readStream twin must reproduce the batch sliding result
 # bit-for-bit (availableNow drain, in-order data): same oracle.
 ORACLES["stream_sliding"] = ORACLES["win_sliding"]
+
+
+# ───────────── round-7 cycle-4 oracles (§2.33) ─────────────
+
+ORACLES["ses_forecast"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT r, row_number() OVER (ORDER BY d) AS i FROM daily
+), nn AS (
+  SELECT count(*) AS n FROM daily
+)
+SELECT CAST(max(n) AS BIGINT) AS n_days,
+       CAST(max(CASE WHEN i = n THEN r END) AS DOUBLE) / 100
+         AS last_revenue,
+       CAST(sum(CAST(round(
+             (CASE WHEN i = 1 THEN power(0.7, n - 1)
+                   ELSE 0.3 * power(0.7, n - i) END) * r)
+           AS BIGINT)) AS DOUBLE) / 100 AS ses_level
+FROM seq CROSS JOIN nn
+"""
+
+ORACLES["theil_sen"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+  FROM orders GROUP BY 1
+), d0 AS (
+  SELECT min(d) AS d0 FROM daily
+), idx AS (
+  SELECT d - d0 AS x, r FROM daily CROSS JOIN d0
+), sl AS (
+  SELECT count(*) AS n_pairs,
+         quantile_cont(CAST(b.r - a.r AS DOUBLE)
+                       / CAST(b.x - a.x AS DOUBLE), 0.5) AS m
+  FROM idx a JOIN idx b ON a.x < b.x
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       m AS slope_cents_per_day,
+       quantile_cont(CAST(r AS DOUBLE) - m * x, 0.5) AS intercept_cents
+FROM idx CROSS JOIN sl
+GROUP BY n_pairs, m
+"""
+
+ORACLES["bootstrap_ci"] = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey, b
+  FROM orders CROSS JOIN (SELECT unnest(range(1, 21)) AS b) g
+), wt AS (
+  SELECT b, c,
+         CASE
+           WHEN substring(md5(concat_ws(':',
+                CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR))),
+                1, 15) < '5e2d58d8b3bce00' THEN 0
+           WHEN substring(md5(concat_ws(':',
+                CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR))),
+                1, 15) < 'bc5ab1b16779c00' THEN 1
+           WHEN substring(md5(concat_ws(':',
+                CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR))),
+                1, 15) < 'eb715e1dc158300' THEN 2
+           WHEN substring(md5(concat_ws(':',
+                CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR))),
+                1, 15) < 'fb23979734a2580' THEN 3
+           WHEN substring(md5(concat_ws(':',
+                CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR))),
+                1, 15) < 'ff1025f59174e00' THEN 4
+           ELSE 5 END AS w
+  FROM base
+), per_b AS (
+  SELECT b, sum(w * c) AS s, sum(w) AS n FROM wt GROUP BY b
+), boots AS (
+  SELECT count(*) AS n_boot,
+         quantile_cont(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100,
+                       0.025) AS ci_lo,
+         quantile_cont(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100,
+                       0.975) AS ci_hi
+  FROM per_b
+), point AS (
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 100 AS mean_price
+  FROM orders
+)
+SELECT mean_price, ci_lo, ci_hi, CAST(n_boot AS BIGINT) AS n_boot
+FROM point CROSS JOIN boots
+"""
+
+ORACLES["power_analysis"] = """
+WITH e AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), s AS (
+  SELECT count(*) AS n,
+         CAST(sum(c) AS DOUBLE) AS s,
+         CAST(sum(c * c) AS DOUBLE) AS s2
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       (s / CAST(n AS DOUBLE)) / 100 AS mean_price,
+       sqrt((s2 - s * s / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1)) / 100 AS sd_price,
+       (0.05 * (s / CAST(n AS DOUBLE))) / 100 AS mde_price,
+       CAST(ceil(2.801585 * 2.801585 * 2
+                 * ((s2 - s * s / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1))
+                 / ((0.05 * (s / CAST(n AS DOUBLE)))
+                    * (0.05 * (s / CAST(n AS DOUBLE)))))
+            AS BIGINT) AS n_per_arm
+FROM s
+"""
+
+ORACLES["degree_hist"] = """
+WITH deg AS (
+  SELECT o_custkey, count(*)::BIGINT AS deg FROM (
+    SELECT DISTINCT o_custkey, l_partkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  ) GROUP BY 1
+)
+SELECT (1::BIGINT << (length(bin(deg)) - 1)) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(deg) AS BIGINT) AS sum_degree,
+       CAST(max(deg) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+"""
+
+ORACLES["lsh_tuning_curve"] = """
+WITH g AS (
+  SELECT unnest(range(1, 20)) AS id
+), c AS (
+  SELECT CAST(id AS DOUBLE) * 0.05 AS s FROM g
+), e AS (
+  SELECT s, 1.0 - s * s * s * s AS inr FROM c
+), e2 AS (
+  SELECT s, inr * inr AS i2 FROM e
+), e4 AS (
+  SELECT s, i2 * i2 AS i4 FROM e2
+)
+SELECT s, 1.0 - i4 * i4 AS p_candidate,
+       8::BIGINT AS bands, 4::BIGINT AS rows_per_band
+FROM e4
+"""
+
+# Third readStream twin: session windows, sharing the batch oracle.
+ORACLES["stream_session"] = ORACLES["win_session"]

@@ -7159,6 +7159,224 @@ def stream_sliding(spark, sf_dir):
         "ws", "event_type", "n_events")
 
 
+def stream_session(spark, sf_dir):
+    """`win_session`'s TRUE Structured-Streaming twin — the third
+    batch/stream-unification witness, and the hardest: SESSION
+    windows are data-driven (no fixed grid), so streaming state
+    merges windows as events arrive and the watermark is what lets
+    merged sessions finalize. File-source readStream, the identical
+    `session_counts` transform (30-min gap, 1-hour watermark), one
+    ``availableNow`` drain into a memory sink. In-order replay loses
+    nothing, so the stream must reproduce the batch `win_session`
+    oracle bit-for-bit."""
+    import hashlib
+    import os
+    import shutil
+
+    from mini_sql_engine_spark.streaming import jobs as SJ
+
+    Catalog(spark, sf_dir)  # registers the ns-timestamp parquet confs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/spark_graft_stream_events_{tag}"
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet",
+                    os.path.join(stage, "events.parquet"))
+    ev = SJ.stream_events(spark, stage)
+    out = SJ.streaming_session_counts(ev)
+    return SJ.run_to_memory(spark, out, "stream_session_sink").select(
+        "user_id", "session_start", "n_events", "sum_value")
+
+
+# ─────────────── §2.33 round-7 (cycle-4) additions ───────────────
+
+
+def ses_forecast(spark, sf_dir):
+    """Simple-exponential-smoothing level of the daily-revenue series
+    (α=0.3) — the one-step-ahead flat forecast, computed CLOSED-FORM
+    instead of as a sequential recurrence: S_n = (1−α)^{n−1}·r_1 +
+    α·Σ (1−α)^{n−i}·r_i, so it is `user_ewma`'s hash-checked batch
+    twin (that key needs `applyInPandas` because its per-user state
+    is unbounded; here the weights are a per-row expression over the
+    BOUNDED per-day table). Each weighted term is rounded to whole
+    cents before the exact integer sum — no accumulation-order
+    float drift; one IEEE division at the surface."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("_d"))
+             .agg(F.sum(cents).alias("_r")))
+    rn = F.row_number().over(Window.orderBy("_d"))  # bounded table
+    seq = daily.select("_r", rn.alias("_i"))
+    n_df = daily.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    w = F.when(
+        F.col("_i") == 1, F.pow(F.lit(0.7), F.col("_n") - 1)
+    ).otherwise(F.lit(0.3) * F.pow(F.lit(0.7), F.col("_n") - F.col("_i")))
+    term = F.round(w * F.col("_r"), 0).cast("long")
+    last = F.max(F.when(F.col("_i") == F.col("_n"), F.col("_r")))
+    return (
+        seq.crossJoin(F.broadcast(n_df))  # 1-row scalar
+        .agg(F.max("_n").alias("n_days"),
+             (last.cast("double") / 100).alias("last_revenue"),
+             (F.sum(term).cast("double") / 100).alias("ses_level"))
+    )
+
+
+def theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (and the median-residual intercept) — the
+    magnitude estimate next to `mk_trend`'s significance verdict,
+    immune to the outlier days that wreck OLS. The pair generator is
+    the same bounded broadcast product over the ~2.4k-row per-day
+    table (≤ ~3M slope values at ANY scale — a contract bound, not a
+    data bound); slopes are exact-integer ratios and both medians
+    use the exact interpolating percentile (`percentiles` pairing)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("_d"))
+             .agg(F.sum(cents).alias("_r")))
+    d0 = daily.agg(F.min("_d").alias("_d0"))
+    idx = (daily.crossJoin(F.broadcast(d0))  # 1-row scalar
+           .select(F.datediff("_d", "_d0").alias("_x"), "_r"))
+    a, b = idx.alias("a"), idx.alias("b")
+    slope = ((F.col("b._r") - F.col("a._r")).cast("double")
+             / (F.col("b._x") - F.col("a._x")).cast("double"))
+    sl = (a.join(F.broadcast(b), F.col("a._x") < F.col("b._x"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+               F.percentile(slope, 0.5).alias("_m")))
+    resid = F.col("_r").cast("double") - F.col("_m") * F.col("_x")
+    return (
+        idx.crossJoin(F.broadcast(sl))  # 1-row scalar
+        .groupBy("n_pairs", "_m")
+        .agg(F.percentile(resid, 0.5).alias("intercept_cents"))
+        .select("n_pairs",
+                F.col("_m").alias("slope_cents_per_day"),
+                "intercept_cents")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds as 15-hex-digit md5 prefixes:
+# floor(CDF(k) · 16^15) in hex — a string compare against the md5
+# prefix IS the u < CDF(k) test, with no hex→int conversion needed
+# (portable across engines; same trick as the md5 split keys).
+_POIS1 = ["5e2d58d8b3bce00", "bc5ab1b16779c00", "eb715e1dc158300",
+          "fb23979734a2580", "ff1025f59174e00"]
+
+
+def bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the mean order value
+    — distributed-bootstrap the way it is actually run at scale
+    (Poisson(1) resample weights per (row, replicate) instead of
+    multinomial draws; Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google 2012). Weights are DETERMINISTIC:
+    md5(orderkey:replicate) prefix vs precomputed CDF hex thresholds,
+    so both engines draw the identical resamples. 20 replicates ×
+    one exact (Σw·x, Σw) aggregate each → the percentile band of 20
+    IEEE means; fan-out is a flat ×20 map — no shuffle growth."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.select(cents.alias("_c"), "o_orderkey").select(
+        "_c", "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("_b"))
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"),
+                          F.col("_b").cast("string")).cast("binary")),
+        1, 15)
+    t = _POIS1
+    w = (F.when(h < t[0], 0).when(h < t[1], 1).when(h < t[2], 2)
+         .when(h < t[3], 3).when(h < t[4], 4).otherwise(5))
+    per_b = (base.select("_b", w.alias("_w"), "_c")
+             .groupBy("_b")
+             .agg(F.sum(F.col("_w") * F.col("_c")).alias("_s"),
+                  F.sum("_w").alias("_n")))
+    mean_b = F.col("_s").cast("double") / F.col("_n").cast("double") / 100
+    boots = per_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        F.percentile(mean_b, 0.025).alias("ci_lo"),
+        F.percentile(mean_b, 0.975).alias("ci_hi"))
+    point = o.agg((F.sum(cents).cast("double")
+                   / F.count(F.lit(1)).cast("double") / 100)
+                  .alias("mean_price"))
+    return (point.crossJoin(F.broadcast(boots))  # 1-row scalar
+            .select("mean_price", "ci_lo", "ci_hi", "n_boot"))
+
+
+def power_analysis(spark, sf_dir):
+    """A/B test sample-size readout: orders needed per arm to detect
+    a 5 % lift in mean order value at α=0.05 / 80 % power — the
+    planning number in front of `welch_ttest`/`srm_check`. Variance
+    comes from exact integer-cents power sums (DECIMAL(38), one
+    aggregate); n = ⌈(z_{α/2}+z_β)²·2σ²/δ²⌉ is a single IEEE tree on
+    identical operands, integer at the surface."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cents.cast("decimal(38,0)")).cast("double").alias("_s"),
+        F.sum((cents * cents).cast("decimal(38,0)")).cast("double")
+        .alias("_s2"))
+    n = F.col("_n").cast("double")
+    mean = F.col("_s") / n
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / n) / (n - 1)
+    mde = F.lit(0.05) * mean
+    n_arm = F.ceil(F.lit(2.801585) * F.lit(2.801585) * 2 * var
+                   / (mde * mde))
+    return agg.select(
+        F.col("_n").cast("long").alias("n_orders"),
+        (mean / 100).alias("mean_price"),
+        (F.sqrt(var) / 100).alias("sd_price"),
+        (mde / 100).alias("mde_price"),
+        n_arm.cast("long").alias("n_per_arm"),
+    )
+
+
+def degree_hist(spark, sf_dir):
+    """Power-of-two histogram of customer↔part bipartite degree (how
+    many DISTINCT parts a customer has ever bought) — the graph-shape
+    profile behind `basket_pairs`/`triangle_count`: a heavy-tailed
+    degree distribution is what makes pair enumeration explode, and
+    this is the readout that says so before you run one. distinct →
+    grouped count → integer bucket exponent; every stage shuffles on
+    its key, nothing global."""
+    o = Catalog(spark, sf_dir).table("orders")
+    li = Catalog(spark, sf_dir).table("lineitem")
+    deg = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey").distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    )
+    lo = F.expr("shiftleft(1L, length(bin(_deg)) - 1)")
+    return (
+        deg.groupBy(lo.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum("_deg").cast("long").alias("sum_degree"),
+             F.max("_deg").cast("long").alias("max_degree"))
+    )
+
+
+def lsh_tuning_curve(spark, sf_dir):
+    """The S-curve of the shipped MinHash-LSH configuration
+    (num_hashes=32 → b=8 bands × r=4 rows, pipeline/dedup.py):
+    P(candidate | Jaccard s) = 1−(1−s⁴)⁸ over a 0.05-step grid —
+    the design artifact that documents WHY those (b, r) were chosen
+    (where the recall knee sits), queryable next to `dup_threshold_
+    sweep`'s measured counterpart. Pure IEEE multiplications (the
+    powers are expanded to repeated squaring — no libm pow), so the
+    curve is bit-identical on any engine; reads no table."""
+    s = (F.col("id").cast("double") * F.lit(0.05)).alias("s")
+    df = spark.range(1, 20).select(s)
+    s4 = F.col("s") * F.col("s") * F.col("s") * F.col("s")
+    inner = F.lit(1.0) - s4
+    i2 = inner * inner
+    i4 = i2 * i2
+    p = F.lit(1.0) - i4 * i4
+    return df.select(
+        "s", p.alias("p_candidate"),
+        F.lit(8).cast("long").alias("bands"),
+        F.lit(4).cast("long").alias("rows_per_band"),
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -7256,6 +7474,14 @@ QUERIES: dict[str, QueryFn] = {
     "poisson_rate_test": poisson_rate_test,
     "session_depth_hist": session_depth_hist,
     "stream_sliding": stream_sliding,
+    # ─── round-7 cycle-4 additions (same overflow queue) ───
+    "ses_forecast": ses_forecast,
+    "theil_sen": theil_sen,
+    "bootstrap_ci": bootstrap_ci,
+    "power_analysis": power_analysis,
+    "degree_hist": degree_hist,
+    "lsh_tuning_curve": lsh_tuning_curve,
+    "stream_session": stream_session,
     # ─── green hash-checked keys, stalest first (r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -914,6 +914,23 @@ def test_round7c3_small_sides_broadcast(spark):
         assert "BroadcastHashJoin" in p, f"{qkey}:\n{p}"
 
 
+ROUND7C4_KEYS = [
+    "ses_forecast", "theil_sen", "bootstrap_ci", "power_analysis",
+    "degree_hist", "lsh_tuning_curve",
+]
+# 1-row scalar broadcasts plus theil_sen's bounded per-day pair join
+ROUND7C4_SCALAR_NLJ_OK = {"ses_forecast", "theil_sen", "bootstrap_ci"}
+
+
+def test_round7c4_shapes_stay_jvm_side(spark):
+    for qkey in ROUND7C4_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        if qkey not in ROUND7C4_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
 def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
     """End-to-end gate over every registry caller of the prefix-sum
     machinery (VERDICT r6 ask #3): the executed plan of each Qkey
