@@ -5276,3 +5276,122 @@ FROM e4
 
 # Third readStream twin: session windows, sharing the batch oracle.
 ORACLES["stream_session"] = ORACLES["win_session"]
+
+
+# ───────────── round-7 cycle-5 oracles (§2.34) ─────────────
+
+ORACLES["shingle_novelty"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS sh
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1)))
+                   AS i) g
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM sh0
+), own AS (
+  SELECT sh, min(doc_id) AS own FROM sh GROUP BY sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count_if(own = doc_id) AS BIGINT) AS n_novel,
+       CAST(count_if(own = doc_id) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty_frac
+FROM sh JOIN own USING (sh)
+GROUP BY doc_id
+"""
+
+ORACLES["lateness_profile"] = """
+WITH l AS (
+  SELECT CAST(max(floor(epoch(ts))) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING)
+         - floor(epoch(ts)) AS BIGINT) AS late
+  FROM events
+)
+SELECT CASE WHEN late = 0 THEN CAST(-1 AS BIGINT)
+            ELSE (1::BIGINT << (length(bin(late)) - 1)) END
+         AS bucket_lo_sec,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late) AS BIGINT) AS max_lateness_sec
+FROM l GROUP BY 1
+"""
+
+ORACLES["neyman_alloc"] = """
+WITH e AS (
+  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), per AS (
+  SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(c) AS DOUBLE) AS s,
+         CAST(sum(c * c) AS DOUBLE) AS s2
+  FROM e GROUP BY 1
+), w AS (
+  SELECT c_mktsegment, n,
+         sqrt((s2 - s * s / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1)) AS sd,
+         CAST(round(CAST(n AS DOUBLE)
+              * sqrt((s2 - s * s / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1))) AS BIGINT) AS u
+  FROM per
+), tot AS (
+  SELECT sum(u) AS tot FROM w
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n_rows,
+       sd / 100 AS sd_price,
+       CAST(round(10000.0 * CAST(u AS DOUBLE) / CAST(tot AS DOUBLE))
+            AS BIGINT) AS alloc_rows
+FROM w CROSS JOIN tot
+"""
+
+ORACLES["seasonal_index"] = """
+WITH per AS (
+  SELECT month(o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r,
+         count(DISTINCT CAST(o_orderdate AS DATE)) AS days
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT sum(r) AS gr, sum(days) AS gd FROM per
+)
+SELECT CAST(month AS BIGINT) AS month,
+       CAST(days AS BIGINT) AS n_days,
+       (CAST(r AS DOUBLE) / CAST(days AS DOUBLE)) / 100
+         AS avg_daily_revenue,
+       (CAST(r AS DOUBLE) / CAST(days AS DOUBLE))
+         / (CAST(gr AS DOUBLE) / CAST(gd AS DOUBLE)) AS seasonal_index
+FROM per CROSS JOIN g
+"""
+
+ORACLES["share_of_parent"] = """
+WITH agg AS (
+  SELECT r_name AS region, n_name AS nation,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(c AS DOUBLE) / 100 AS revenue,
+       CAST(c AS DOUBLE)
+         / CAST(sum(c) OVER (PARTITION BY region) AS DOUBLE)
+         AS share_of_region
+FROM agg
+"""
+
+ORACLES["fulfillment_latency"] = """
+WITH l AS (
+  SELECT o_orderpriority AS priority,
+         CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS lat
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_days,
+       quantile_cont(CAST(lat AS DOUBLE), 0.5) AS p50_days,
+       quantile_cont(CAST(lat AS DOUBLE), 0.9) AS p90_days,
+       CAST(max(lat) AS BIGINT) AS max_days
+FROM l GROUP BY 1
+"""

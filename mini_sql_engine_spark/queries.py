@@ -7377,6 +7377,192 @@ def lsh_tuning_curve(spark, sf_dir):
     )
 
 
+# ─────────────── §2.34 round-7 (cycle-5) additions ───────────────
+
+
+def shingle_novelty(spark, sf_dir):
+    """Per-document shingle novelty: the fraction of a document's
+    DISTINCT 3-token shingles whose FIRST corpus occurrence (min
+    doc_id) is this document — the content-freshness signal a
+    curation pipeline reads next to the dup-rate ops (a doc can be
+    non-duplicate yet 0 % novel: all its phrases exist elsewhere).
+    Distinct (shingle → min owner) is one keyed agg over the
+    exploded shingle table; the join back is shingle-keyed — every
+    stage shuffles on its key, no pair enumeration at all."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.split(F.col("text"), " ")
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(_toks) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(_toks, i), "
+        "element_at(_toks, i + 1), element_at(_toks, i + 2)))")
+    sh = (
+        d.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(tri).alias("sh"))
+        .distinct()
+    )
+    owner = sh.groupBy("sh").agg(F.min("doc_id").alias("_own"))
+    return (
+        sh.join(owner, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count_if(F.col("_own") == F.col("doc_id")).cast("long")
+            .alias("n_novel"),
+            (F.count_if(F.col("_own") == F.col("doc_id"))
+             .cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("novelty_frac"),
+        )
+    )
+
+
+def lateness_profile(spark, sf_dir):
+    """Event-time out-of-orderness profile — THE watermark-tuning
+    readout for §2.9: for each event, lateness = (max event time
+    seen so far in the user's ARRIVAL order, i.e. event_id) − its
+    own event time; the histogram of that lateness tells you what
+    `withWatermark` bound actually loses data. Per-user windows
+    (shuffle-parallel); floored-second epochs keep the arithmetic
+    exact integers; power-of-two second buckets (−1 = in-order)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    epoch = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    late = (F.max(epoch).over(w) - epoch).alias("_late")
+    bucket = F.when(
+        F.col("_late") == 0, F.lit(-1).cast("long")
+    ).otherwise(F.expr("shiftleft(1L, length(bin(_late)) - 1)"))
+    return (
+        ev.select(late)
+        .groupBy(bucket.alias("bucket_lo_sec"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.max("_late").cast("long").alias("max_lateness_sec"))
+    )
+
+
+def neyman_alloc(spark, sf_dir):
+    """Neyman-optimal stratified-sample allocation over market
+    segments: n_h ∝ N_h·S_h for a 10k-row budget — the
+    variance-minimizing design in front of `corpus_sample` /
+    `weighted_sample` (proportional allocation wastes budget on
+    low-variance strata). Per-stratum sd from exact integer-cents
+    power sums; each N_h·S_h is rounded to a whole unit so the
+    cross-strata total is an exact integer sum (no accumulation
+    order); allocations are single IEEE ops on identical operands."""
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(cents.cast("decimal(38,0)")).cast("double")
+             .alias("_s"),
+             F.sum((cents * cents).cast("decimal(38,0)")).cast("double")
+             .alias("_s2"))
+    )
+    n = F.col("_n").cast("double")
+    sd = F.sqrt((F.col("_s2") - F.col("_s") * F.col("_s") / n) / (n - 1))
+    ns_unit = F.round(n * sd, 0).cast("long")
+    tot = (per.select(ns_unit.alias("_u"))
+           .agg(F.sum("_u").alias("_tot")))
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row scalar
+        .select(
+            "c_mktsegment",
+            F.col("_n").cast("long").alias("n_rows"),
+            (sd / 100).alias("sd_price"),
+            F.round(F.lit(10000.0) * ns_unit.cast("double")
+                    / F.col("_tot").cast("double"), 0).cast("long")
+            .alias("alloc_rows"),
+        )
+    )
+
+
+def seasonal_index(spark, sf_dir):
+    """Month-of-year seasonal index of revenue: each calendar
+    month's average DAILY revenue over the global average daily
+    revenue — the classical multiplicative seasonal profile
+    (`dow_seasonality`'s yearly-cycle sibling; day counts matter
+    because months recur unevenly across the date range). All
+    counts/sums exact integers; the index is one IEEE tree on
+    identical operands."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (o.groupBy(F.month("o_orderdate").alias("month"))
+           .agg(F.sum(cents).alias("_r"),
+                F.count_distinct(F.to_date("o_orderdate"))
+                .alias("_days")))
+    glob = per.agg(F.sum("_r").alias("_gr"), F.sum("_days").alias("_gd"))
+    daily = F.col("_r").cast("double") / F.col("_days").cast("double")
+    gdaily = F.col("_gr").cast("double") / F.col("_gd").cast("double")
+    return (
+        per.crossJoin(F.broadcast(glob))  # 1-row scalar
+        .select(
+            F.col("month").cast("long").alias("month"),
+            F.col("_days").cast("long").alias("n_days"),
+            (daily / 100).alias("avg_daily_revenue"),
+            (daily / gdaily).alias("seasonal_index"),
+        )
+    )
+
+
+def share_of_parent(spark, sf_dir):
+    """Revenue share of each nation WITHIN its region — the
+    parent-child drill-down ratio every OLAP report renders
+    (`share_of_total` is the flat grand-total version). The fact
+    aggregates to (region × nation) exact DECIMAL sums FIRST; the
+    parent total is a window sum over that bounded 25-row table —
+    zero extra shuffle of the fact; share is one IEEE division."""
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer")
+    n = Catalog(spark, sf_dir).table("nation")
+    r = Catalog(spark, sf_dir).table("region")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    agg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(cents.cast("decimal(38,0)")).alias("_c"))
+    )
+    parent = F.sum("_c").over(Window.partitionBy("region"))
+    return agg.select(
+        "region", "nation",
+        (F.col("_c").cast("double") / 100).alias("revenue"),
+        (F.col("_c").cast("double") / parent.cast("double"))
+        .alias("share_of_region"),
+    )
+
+
+def fulfillment_latency(spark, sf_dir):
+    """Order→ship fulfillment latency distribution per order
+    priority — the operations SLA readout (does URGENT actually ship
+    faster?): one orders⋈lineitem join, integer day gaps, exact mean
+    and exact interpolating percentiles per bounded priority group.
+    AT-SCALE NOTE: the exact percentile buffers per-group values;
+    the 100 TB swap is `percentile_approx` (the `percentiles_approx`
+    certificate pattern) — this form is the small-SF parity witness."""
+    o = Catalog(spark, sf_dir).table("orders")
+    li = Catalog(spark, sf_dir).table("lineitem")
+    lat = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_orderpriority", lat.alias("_lat"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum("_lat").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("avg_days"),
+            F.percentile(F.col("_lat").cast("double"), F.lit(0.5))
+            .alias("p50_days"),
+            F.percentile(F.col("_lat").cast("double"), F.lit(0.9))
+            .alias("p90_days"),
+            F.max("_lat").cast("long").alias("max_days"),
+        )
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -7482,6 +7668,13 @@ QUERIES: dict[str, QueryFn] = {
     "degree_hist": degree_hist,
     "lsh_tuning_curve": lsh_tuning_curve,
     "stream_session": stream_session,
+    # ─── round-7 cycle-5 additions (same overflow queue) ───
+    "shingle_novelty": shingle_novelty,
+    "lateness_profile": lateness_profile,
+    "neyman_alloc": neyman_alloc,
+    "seasonal_index": seasonal_index,
+    "share_of_parent": share_of_parent,
+    "fulfillment_latency": fulfillment_latency,
     # ─── green hash-checked keys, stalest first (r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -931,6 +931,30 @@ def test_round7c4_shapes_stay_jvm_side(spark):
             assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
 
 
+ROUND7C5_KEYS = [
+    "shingle_novelty", "lateness_profile", "neyman_alloc",
+    "seasonal_index", "share_of_parent", "fulfillment_latency",
+]
+# 1-row scalar broadcasts (Neyman total, global daily rate)
+ROUND7C5_SCALAR_NLJ_OK = {"neyman_alloc", "seasonal_index"}
+
+
+def test_round7c5_shapes_stay_jvm_side(spark):
+    for qkey in ROUND7C5_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        if qkey not in ROUND7C5_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
+def test_round7c5_dims_broadcast(spark):
+    """nation/region must reach the share_of_parent join as
+    broadcasts — the fact never shuffles for a dimension."""
+    p = plan(Q.QUERIES["share_of_parent"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+
+
 def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
     """End-to-end gate over every registry caller of the prefix-sum
     machinery (VERDICT r6 ask #3): the executed plan of each Qkey
