@@ -5395,3 +5395,127 @@ SELECT priority,
        CAST(max(lat) AS BIGINT) AS max_days
 FROM l GROUP BY 1
 """
+
+
+# ───────────── round-7 cycle-6 oracles (§2.35) ─────────────
+
+ORACLES["target_encode_loo"] = """
+WITH e AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), g AS (
+  SELECT o_orderpriority, sum(c) AS s, count(*) AS n
+  FROM e GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority,
+       CAST(c AS DOUBLE) / 100 AS price,
+       CASE WHEN n > 1
+            THEN (CAST(s AS DOUBLE) - CAST(c AS DOUBLE))
+                 / CAST(n - 1 AS DOUBLE) / 100 END AS loo_mean_price
+FROM e JOIN g USING (o_orderpriority)
+"""
+
+ORACLES["session_conversion"] = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                      >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), per AS (
+  SELECT user_id, sid,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(v) AS BIGINT) AS n_view_sessions,
+       CAST(sum(v * p) AS BIGINT) AS n_converted,
+       CAST(sum(v * p) AS DOUBLE) / CAST(sum(v) AS DOUBLE)
+         AS conversion_rate
+FROM per
+"""
+
+ORACLES["hour_dow_heatmap"] = """
+WITH per AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(hour AS BIGINT) AS hour,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+FROM per
+"""
+
+ORACLES["col_entropy_profile"] = """
+WITH
+p1 AS (SELECT o_orderpriority AS v FROM orders),
+p2 AS (SELECT o_orderstatus AS v FROM orders),
+p3 AS (SELECT c_mktsegment AS v FROM customer),
+p4 AS (SELECT n_name AS v FROM nation),
+p5 AS (SELECT event_type AS v FROM events)
+SELECT 'orders.o_orderpriority' AS column_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0
+         AS entropy_nats
+FROM (SELECT v, count(*) AS c FROM p1 GROUP BY v)
+UNION ALL
+SELECT 'orders.o_orderstatus', CAST(sum(c) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0
+FROM (SELECT v, count(*) AS c FROM p2 GROUP BY v)
+UNION ALL
+SELECT 'customer.c_mktsegment', CAST(sum(c) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0
+FROM (SELECT v, count(*) AS c FROM p3 GROUP BY v)
+UNION ALL
+SELECT 'nation.n_name', CAST(sum(c) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0
+FROM (SELECT v, count(*) AS c FROM p4 GROUP BY v)
+UNION ALL
+SELECT 'events.event_type', CAST(sum(c) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0
+FROM (SELECT v, count(*) AS c FROM p5 GROUP BY v)
+"""
+
+ORACLES["quantile_normalize"] = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+         CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem
+), rg AS (
+  SELECT l_orderkey, l_linenumber, g, v,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY v, l_orderkey, l_linenumber) AS r
+  FROM v
+), cnt AS (
+  SELECT g, count(*) AS ng FROM v GROUP BY g
+), nn AS (
+  SELECT count(*) AS nt FROM v
+), gv AS (
+  SELECT v AS qnorm_v,
+         row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS ri
+  FROM v
+)
+SELECT a.l_orderkey, a.l_linenumber, a.g, a.v, gv.qnorm_v
+FROM rg a
+JOIN cnt USING (g) CROSS JOIN nn
+JOIN gv ON gv.ri = CAST(round(
+    (CASE WHEN ng > 1
+          THEN CAST(a.r - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
+          ELSE 0.0 END) * CAST(nt - 1 AS DOUBLE)) AS BIGINT) + 1
+"""

@@ -7563,6 +7563,163 @@ def fulfillment_latency(spark, sf_dir):
     )
 
 
+# ─────────────── §2.35 round-7 (cycle-6) additions ───────────────
+
+
+def target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding of order priority by mean order
+    value — the standard leakage-free categorical encoder for
+    tree/linear models (plain group-mean encoding leaks each row's
+    own target; LOO = (S_g − xᵢ)/(n_g − 1) removes it exactly).
+    Group sums are exact DECIMAL cents broadcast back to the fact —
+    one keyed agg + one broadcast join, no window; the encode is a
+    fixed IEEE tree on exact operands."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    grp = (o.groupBy("o_orderpriority")
+           .agg(F.sum(cents.cast("decimal(38,0)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n")))
+    loo = ((F.col("_s").cast("double") - cents.cast("double"))
+           / (F.col("_n") - 1).cast("double") / 100)
+    return (
+        o.join(F.broadcast(grp), "o_orderpriority")
+        .select(
+            "o_orderkey", "o_orderpriority",
+            (cents.cast("double") / 100).alias("price"),
+            F.when(F.col("_n") > 1, loo).alias("loo_mean_price"),
+        )
+    )
+
+
+def session_conversion(spark, sf_dir):
+    """Session-level view→purchase conversion: of the sessions that
+    contain a view, how many also contain a purchase — the product
+    funnel at SESSION grain (`funnel`/`funnel_windowed` are user
+    grain; `sessionize` supplies the grain). The gaps-and-islands
+    labels are inlined so event_type rides the SAME single keyed
+    shuffle (no join-back of the fact); everything after is two
+    shrinking aggregates; counts exact, rate one IEEE division."""
+    ev = Catalog(spark, sf_dir).table("events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag(epoch).over(w).isNull()
+        | (epoch - F.lag(epoch).over(w) >= 1800), 1).otherwise(0)
+    wsum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    sess = ev.select(
+        "user_id", "event_type",
+        F.sum(new_sess).over(wsum).alias("_sid"))
+    per = (sess.groupBy("user_id", "_sid")
+           .agg(F.max((F.col("event_type") == "view").cast("int"))
+                .alias("_v"),
+                F.max((F.col("event_type") == "purchase").cast("int"))
+                .alias("_p")))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("_v").cast("long").alias("n_view_sessions"),
+        F.sum(F.col("_v") * F.col("_p")).cast("long")
+        .alias("n_converted"),
+        (F.sum(F.col("_v") * F.col("_p")).cast("double")
+         / F.sum("_v").cast("double")).alias("conversion_rate"),
+    )
+
+
+def hour_dow_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the staffing /
+    traffic-shaping readout (`dow_seasonality`'s 2-D refinement).
+    One hash aggregate to the bounded ≤168-cell table; the share
+    normalizer is a window over that table, not the fact. dow is
+    Spark ``dayofweek``−1 == DuckDB ``dayofweek`` (0=Sunday), the
+    engine-identical convention `dow_seasonality` pinned."""
+    ev = Catalog(spark, sf_dir).table("events")
+    per = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    tot = F.sum("_n").over(Window.partitionBy())  # bounded 168 rows
+    return per.select(
+        "dow", "hour",
+        F.col("_n").cast("long").alias("n_events"),
+        (F.col("_n").cast("double") / tot.cast("double")).alias("share"),
+    )
+
+
+def col_entropy_profile(spark, sf_dir):
+    """Shannon entropy (nats) of every hot categorical column across
+    the schema — the data-profiling sibling of `profile_table`
+    (entropy ≈ 0 flags a near-constant column; ln(k) flags uniform).
+    One (value-count → entropy) aggregate pair per column, unioned;
+    each inner table is bounded by the column's cardinality.
+    `entropy_agg` rounding discipline (libm + tiny-group sums)."""
+    specs = [("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+             ("customer", "c_mktsegment"), ("nation", "n_name"),
+             ("events", "event_type")]
+    parts = []
+    for tname, col in specs:
+        t = Catalog(spark, sf_dir).table(tname)
+        c = t.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c"))
+        n = F.sum("_c")
+        parts.append(c.groupBy().agg(
+            F.lit(f"{tname}.{col}").alias("column_name"),
+            n.cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(F.log(n) - F.sum(F.col("_c") * F.log("_c")) / n, 6)
+            .alias("entropy_nats"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def quantile_normalize(spark, sf_dir):
+    """Quantile normalization of quantity across return-flag groups:
+    each value maps to the GLOBAL value at its within-group quantile
+    — the batch-effect-removal transform (microarray lineage) that
+    makes per-group distributions identical, here as a
+    feature-engineering op. NO per-group single-task window: the
+    within-group rank is ONE distributed range exchange over
+    (g, v, keys) minus a broadcast per-group offset (the grouped
+    variant of the prefix-sum machinery), the global target table is
+    a second distributed rank, and the final lookup is a hash join
+    on the integer rank index. Ranks exact; the quantile→index map
+    is round() on an exact-operand product, identical both engines."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    v = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_returnflag").alias("g"),
+                  F.col("l_quantity").cast("double").alias("v"))
+    ranked = SO.with_rank(v, "g", "v", "l_orderkey", "l_linenumber",
+                          alias="_rk")
+    counts = v.groupBy("g").agg(F.count(F.lit(1)).alias("_ng"))
+    w_off = (Window.orderBy("g")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "g", "_ng",
+        F.coalesce(F.sum("_ng").over(w_off), F.lit(0)).alias("_off"))
+    nn = v.agg(F.count(F.lit(1)).alias("_nt"))
+    r_in_g = F.col("_rk") - F.col("_off")
+    p = F.when(F.col("_ng") > 1,
+               (r_in_g - 1).cast("double")
+               / (F.col("_ng") - 1).cast("double")).otherwise(F.lit(0.0))
+    idx = (F.round(p * (F.col("_nt") - 1).cast("double"), 0)
+           .cast("long") + 1)
+    gv = SO.with_rank(
+        v.select("v", "l_orderkey", "l_linenumber"),
+        "v", "l_orderkey", "l_linenumber", alias="_ri"
+    ).select(F.col("v").alias("qnorm_v"), F.col("_ri").cast("long")
+             .alias("_ri"))
+    return (
+        ranked.join(F.broadcast(off), "g")
+        .crossJoin(F.broadcast(nn))  # 1-row scalar
+        .select("l_orderkey", "l_linenumber", "g", "v",
+                idx.alias("_idx"))
+        .join(gv, F.col("_idx") == F.col("_ri"))
+        .select("l_orderkey", "l_linenumber", "g", "v", "qnorm_v")
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -7675,6 +7832,12 @@ QUERIES: dict[str, QueryFn] = {
     "seasonal_index": seasonal_index,
     "share_of_parent": share_of_parent,
     "fulfillment_latency": fulfillment_latency,
+    # ─── round-7 cycle-6 additions (same overflow queue) ───
+    "target_encode_loo": target_encode_loo,
+    "session_conversion": session_conversion,
+    "hour_dow_heatmap": hour_dow_heatmap,
+    "col_entropy_profile": col_entropy_profile,
+    "quantile_normalize": quantile_normalize,
     # ─── green hash-checked keys, stalest first (r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -846,6 +846,9 @@ PREFIX_SUM_CALLER_KEYS = {
     # cycle-3: rrf_fusion ranks two skinny (doc_id, score) frames —
     # one reused range exchange each
     "rrf_fusion": 2,
+    # cycle-6: quantile_normalize ranks the skinny (g, v, keys) frame
+    # and the global (v, keys) frame — one reused exchange each
+    "quantile_normalize": 2,
 }
 
 
@@ -952,6 +955,30 @@ def test_round7c5_dims_broadcast(spark):
     """nation/region must reach the share_of_parent join as
     broadcasts — the fact never shuffles for a dimension."""
     p = plan(Q.QUERIES["share_of_parent"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+
+
+ROUND7C6_KEYS = [
+    "target_encode_loo", "session_conversion", "hour_dow_heatmap",
+    "col_entropy_profile", "quantile_normalize",
+]
+# 1-row scalar broadcast (global N for the quantile→index map)
+ROUND7C6_SCALAR_NLJ_OK = {"quantile_normalize"}
+
+
+def test_round7c6_shapes_stay_jvm_side(spark):
+    for qkey in ROUND7C6_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        if qkey not in ROUND7C6_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
+def test_round7c6_group_sums_broadcast(spark):
+    """The tiny per-priority sum table must reach the fact as a
+    broadcast in the LOO encoder."""
+    p = plan(Q.QUERIES["target_encode_loo"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p
 
 
