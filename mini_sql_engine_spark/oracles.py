@@ -5519,3 +5519,142 @@ JOIN gv ON gv.ri = CAST(round(
           THEN CAST(a.r - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
           ELSE 0.0 END) * CAST(nt - 1 AS DOUBLE)) AS BIGINT) + 1
 """
+
+
+# ───────────── round-7 cycle-7 oracles (§2.36) ─────────────
+
+ORACLES["lang_confusion"] = f"""
+SELECT lang, lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS DOUBLE)
+         / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE)
+         AS row_share
+FROM ({ORACLES['lang_id']}) L
+GROUP BY lang, lang_pred
+"""
+
+ORACLES["heaps_curve"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), per_doc AS (
+  SELECT doc_id, len(toks)::BIGINT AS nt FROM t
+), tok AS (
+  SELECT DISTINCT doc_id, tk
+  FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+), own AS (
+  SELECT tk, min(doc_id) AS doc_id FROM tok GROUP BY tk
+), own_cnt AS (
+  SELECT doc_id, count(*) AS nv FROM own GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+  FROM documents
+), per_dec AS (
+  SELECT decile, count(*) AS n_docs, sum(nt) AS td,
+         sum(coalesce(nv, 0)) AS vd
+  FROM ranked JOIN per_doc USING (doc_id)
+  LEFT JOIN own_cnt USING (doc_id)
+  GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum(td) OVER w AS BIGINT) AS tokens_cum,
+       CAST(sum(vd) OVER w AS BIGINT) AS vocab_cum,
+       round(ln(CAST(sum(vd) OVER w AS DOUBLE))
+             / ln(CAST(sum(td) OVER w AS DOUBLE)), 6) + 0.0
+         AS heaps_ratio
+FROM per_dec
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+"""
+
+ORACLES["xyz_class"] = """
+WITH span AS (
+  SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+         max(CAST(l_shipdate AS DATE)) AS d1
+  FROM lineitem
+), weekly AS (
+  SELECT l_partkey,
+         floor((CAST(l_shipdate AS DATE) - d0) / 7.0) AS wk,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS q,
+         max(floor((d1 - d0) / 7.0) + 1) AS w
+  FROM lineitem CROSS JOIN span
+  GROUP BY 1, 2
+), per AS (
+  SELECT l_partkey, CAST(max(w) AS DOUBLE) AS W,
+         CAST(sum(q) AS DOUBLE) AS s,
+         CAST(sum(q * q) AS DOUBLE) AS s2
+  FROM weekly GROUP BY 1
+), cv AS (
+  SELECT CASE WHEN sqrt((s2 - s * s / W) / (W - 1)) / (s / W) < 0.5
+              THEN 'X'
+              WHEN sqrt((s2 - s * s / W) / (W - 1)) / (s / W) < 1.0
+              THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         CAST(round((sqrt((s2 - s * s / W) / (W - 1)) / (s / W))
+                    * 1000000.0) AS BIGINT) AS cvu
+  FROM per
+)
+SELECT xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cvu) AS DOUBLE) / 1000000.0
+         / CAST(count(*) AS DOUBLE) AS avg_cv
+FROM cv GROUP BY 1
+"""
+
+ORACLES["pareto_knee"] = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS c
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT l_partkey, c,
+         row_number() OVER (ORDER BY c DESC, l_partkey) AS i,
+         sum(c) OVER (ORDER BY c DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rev
+), t AS (
+  SELECT sum(c) AS tot, count(*) AS n FROM rev
+)
+SELECT CAST(n AS BIGINT) AS n_parts,
+       CAST(i AS BIGINT) AS knee_rank,
+       CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS knee_cum_share,
+       CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+         - CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS knee_gap
+FROM r CROSS JOIN t
+ORDER BY (CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+          - CAST(i AS DOUBLE) / CAST(n AS DOUBLE)) DESC, i
+LIMIT 1
+"""
+
+ORACLES["wilson_daily_error"] = """
+WITH per AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         count(*) AS n, count_if(event_type = 'error') AS e
+  FROM events GROUP BY 1
+)
+SELECT day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(e AS BIGINT) AS n_errors,
+       CAST(e AS DOUBLE) / CAST(n AS DOUBLE) AS err_rate,
+       (CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+        + 1.959964 * 1.959964 / (2 * CAST(n AS DOUBLE)))
+       / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+       - 1.959964 * sqrt(
+           CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+           * (1 - CAST(e AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n AS DOUBLE)
+           + 1.959964 * 1.959964
+             / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)) AS ci_lo,
+       (CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+        + 1.959964 * 1.959964 / (2 * CAST(n AS DOUBLE)))
+       / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+       + 1.959964 * sqrt(
+           CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+           * (1 - CAST(e AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n AS DOUBLE)
+           + 1.959964 * 1.959964
+             / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)) AS ci_hi
+FROM per
+"""

@@ -7720,6 +7720,179 @@ def quantile_normalize(spark, sf_dir):
     )
 
 
+# ─────────────── §2.36 round-7 (cycle-7) additions ───────────────
+
+
+def lang_confusion(spark, sf_dir):
+    """Confusion matrix of the heuristic language-ID against the
+    labeled `lang` column — the eval readout that turns `lang_id`
+    from a feature into a measured classifier (row-share = recall
+    per true class). One keyed agg over lang_id's output to the
+    bounded ≤25-cell table; the share normalizer windows over that
+    table. (On the synthetic word-salad corpus the matrix measures
+    the tie-break determinism more than real accuracy — documented
+    in functions/text.py.)"""
+    pred = lang_id(spark, sf_dir)
+    per = (pred.groupBy("lang", "lang_pred")
+           .agg(F.count(F.lit(1)).alias("_n")))
+    row_tot = F.sum("_n").over(Window.partitionBy("lang"))
+    return per.select(
+        "lang", "lang_pred",
+        F.col("_n").cast("long").alias("n_docs"),
+        (F.col("_n").cast("double") / row_tot.cast("double"))
+        .alias("row_share"),
+    )
+
+
+def heaps_curve(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct
+    vocabulary vs cumulative tokens over doc-id-ordered corpus
+    deciles — the scaling readout that says how much NEW vocabulary
+    the next 10 % of corpus buys (`zipf_alpha` / `vocab_coverage`
+    companions). First-occurrence attribution (token → min doc_id)
+    makes the cumulative distinct count a per-decile SUM — no
+    cumulative distinct aggregation anywhere; doc deciles come from
+    the distributed rank + exact ntile arithmetic; the 10-row
+    cumulative window is bounded."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select("doc_id", F.size(toks).cast("long").alias("_nt"))
+    tok = (d.select("doc_id", F.explode(toks).alias("_t"))
+           .distinct())
+    own_cnt = (tok.groupBy("_t").agg(F.min("doc_id").alias("doc_id"))
+               .groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nv")))
+    r = SO.with_rank(d.select("doc_id"), "doc_id", alias="rn")
+    n_df = d.agg(F.count(F.lit(1)).alias("_n"))
+    decile = F.expr(
+        "CASE WHEN rn <= (_n % 10) * (_n div 10 + 1) "
+        "THEN (rn - 1) div (_n div 10 + 1) + 1 "
+        "ELSE (_n % 10) + (rn - 1 - (_n % 10) * (_n div 10 + 1)) "
+        "div greatest(_n div 10, 1) + 1 "
+        "END"
+    ).cast("long")
+    per_dec = (
+        r.crossJoin(F.broadcast(n_df))  # 1-row scalar
+        .select("doc_id", decile.alias("decile"))
+        .join(per_doc, "doc_id")
+        .join(own_cnt, "doc_id", "left")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("_nt").alias("_td"),
+             F.sum(F.coalesce(F.col("_nv"), F.lit(0))).alias("_vd"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)  # bounded 10 rows
+    t_cum, v_cum = F.sum("_td").over(w), F.sum("_vd").over(w)
+    return per_dec.select(
+        "decile", "n_docs",
+        t_cum.cast("long").alias("tokens_cum"),
+        v_cum.cast("long").alias("vocab_cum"),
+        F.round(F.log(v_cum.cast("double"))
+                / F.log(t_cum.cast("double")), 6).alias("heaps_ratio"),
+    )
+
+
+def xyz_class(spark, sf_dir):
+    """XYZ demand-variability classification of parts (`pareto_abc`'s
+    supply-chain sibling): coefficient of variation of WEEKLY demand
+    with silent weeks counted as zero — a sold-weeks-only cv flatters
+    sporadic parts, so the variance formula runs over the full W-week
+    horizon ((ΣQ²−(ΣQ)²/W)/(W−1); zero weeks add nothing to either
+    sum — exact). X: cv<0.5 (steady), Y: <1 (variable), Z: erratic.
+    Per-class mean cv is µ-rounded-then-exact-summed."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    span = li.agg(F.min(F.to_date("l_shipdate")).alias("_d0"),
+                  F.max(F.to_date("l_shipdate")).alias("_d1"))
+    wk = F.floor(F.datediff(F.to_date("l_shipdate"), F.col("_d0"))
+                 / F.lit(7.0))
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    weekly = (
+        li.crossJoin(F.broadcast(span))  # 1-row scalar
+        .groupBy("l_partkey", wk.alias("_wk"))
+        .agg(F.sum(qty).alias("_q"),
+             F.max(F.floor(F.datediff("_d1", "_d0") / F.lit(7.0)) + 1)
+             .alias("_w"))
+    )
+    per = weekly.groupBy("l_partkey").agg(
+        F.max("_w").cast("double").alias("_W"),
+        F.sum("_q").cast("double").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).cast("double").alias("_s2"))
+    mean = F.col("_s") / F.col("_W")
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_W")) \
+        / (F.col("_W") - 1)
+    cv = F.sqrt(var) / mean
+    cls = (F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z"))
+    cv_u = F.round(cv * 1e6, 0).cast("long")
+    return (
+        per.select(cls.alias("xyz_class"), cv_u.alias("_cvu"))
+        .groupBy("xyz_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+             (F.sum("_cvu").cast("double") / 1e6
+              / F.count(F.lit(1)).cast("double")).alias("avg_cv"))
+    )
+
+
+def pareto_knee(spark, sf_dir):
+    """Knee of the revenue-concentration curve: the rank where the
+    cumulative-share curve is farthest above the uniform diagonal —
+    the principled place to cut a 'head' segment instead of the
+    arbitrary 80 % (`pareto_abc`'s A-boundary). Rank and cumulative
+    revenue both come from the distributed prefix-sum machinery on
+    the skinny (part, cents) aggregate; the argmax is a top-1
+    TakeOrdered with a deterministic tie-break."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100, 0).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("_c"))
+    keys = (F.col("_c").desc(), F.col("l_partkey"))
+    ranked = SO.with_rank(rev, *keys, alias="_i")
+    cum = SO.with_running_total(ranked.select("l_partkey", "_c"),
+                                "_c", *keys, alias="_cum")
+    tot = rev.agg(F.sum("_c").alias("_tot"),
+                  F.count(F.lit(1)).alias("_n"))
+    j = (ranked.join(cum.select("l_partkey", "_cum"), "l_partkey")
+         .crossJoin(F.broadcast(tot)))  # 1-row scalar
+    share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    unif = F.col("_i").cast("double") / F.col("_n").cast("double")
+    best = (j.select("_i", "_n", share.alias("_sh"),
+                     (share - unif).alias("_gap"))
+            .orderBy(F.col("_gap").desc(), "_i").limit(1))
+    return best.select(
+        F.col("_n").cast("long").alias("n_parts"),
+        F.col("_i").cast("long").alias("knee_rank"),
+        F.col("_sh").alias("knee_cum_share"),
+        F.col("_gap").alias("knee_gap"),
+    )
+
+
+def wilson_daily_error(spark, sf_dir):
+    """Daily error-rate with a Wilson 95 % score interval — the
+    monitoring chart that does NOT lie on low-traffic days (a normal
+    interval collapses to ±0 at small n; Wilson stays honest). One
+    conditional aggregate per day; the interval is a fixed IEEE tree
+    on exact integer counts, identical in both engines."""
+    ev = Catalog(spark, sf_dir).table("events")
+    per = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("_n"),
+          F.count_if(F.col("event_type") == "error").alias("_e"))
+    n, e = F.col("_n").cast("double"), F.col("_e").cast("double")
+    z = F.lit(1.959964)
+    p = e / n
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / denom
+    return per.select(
+        "day",
+        F.col("_n").cast("long").alias("n_events"),
+        F.col("_e").cast("long").alias("n_errors"),
+        p.alias("err_rate"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -7838,6 +8011,12 @@ QUERIES: dict[str, QueryFn] = {
     "hour_dow_heatmap": hour_dow_heatmap,
     "col_entropy_profile": col_entropy_profile,
     "quantile_normalize": quantile_normalize,
+    # ─── round-7 cycle-7 additions (same overflow queue) ───
+    "lang_confusion": lang_confusion,
+    "heaps_curve": heaps_curve,
+    "xyz_class": xyz_class,
+    "pareto_knee": pareto_knee,
+    "wilson_daily_error": wilson_daily_error,
     # ─── green hash-checked keys, stalest first (r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -849,6 +849,10 @@ PREFIX_SUM_CALLER_KEYS = {
     # cycle-6: quantile_normalize ranks the skinny (g, v, keys) frame
     # and the global (v, keys) frame — one reused exchange each
     "quantile_normalize": 2,
+    # cycle-7: heaps_curve ranks doc_id; pareto_knee ranks + running-
+    # totals the skinny (part, cents) aggregate
+    "heaps_curve": 1,
+    "pareto_knee": 2,
 }
 
 
@@ -980,6 +984,23 @@ def test_round7c6_group_sums_broadcast(spark):
     broadcast in the LOO encoder."""
     p = plan(Q.QUERIES["target_encode_loo"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p
+
+
+ROUND7C7_KEYS = [
+    "lang_confusion", "heaps_curve", "xyz_class", "pareto_knee",
+    "wilson_daily_error",
+]
+# 1-row scalar broadcasts (corpus size / span / totals)
+ROUND7C7_SCALAR_NLJ_OK = {"heaps_curve", "xyz_class", "pareto_knee"}
+
+
+def test_round7c7_shapes_stay_jvm_side(spark):
+    for qkey in ROUND7C7_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        if qkey not in ROUND7C7_SCALAR_NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
 
 
 def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
