@@ -140,6 +140,13 @@ SF1_KEYS = [
     # double prefix-sum RRF fusion on 10× documents.
     "mk_trend", "yoy_growth", "rank_change", "partial_corr",
     "km_survival", "rrf_fusion",
+    # round-7 cycle-4..7 shapes on the replicated facts: the double
+    # prefix-sum quantile map (ranks the full 10× fact twice), the
+    # rank+running-total knee, LOO broadcast encode, zero-filled
+    # weekly-cv classes, bootstrap ×20 fan-out, and the min-owner
+    # shingle novelty join on 10× documents.
+    "quantile_normalize", "pareto_knee", "target_encode_loo",
+    "xyz_class", "bootstrap_ci", "shingle_novelty",
 ]
 
 

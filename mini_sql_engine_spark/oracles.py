@@ -5658,3 +5658,96 @@ SELECT day,
          / (1 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)) AS ci_hi
 FROM per
 """
+
+
+# ───────────── round-7 cycle-8 oracles (§2.37) ─────────────
+
+ORACLES["returns_impact"] = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
+       CAST(count_if(l_returnflag = 'R') AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS return_rate,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                END) AS DOUBLE)
+         / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) AS returned_revenue_share
+FROM lineitem GROUP BY 1
+"""
+
+ORACLES["discount_bands"] = """
+SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 100 AS avg_line_revenue
+FROM lineitem GROUP BY 1
+"""
+
+ORACLES["clv_summary"] = """
+WITH e AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), per AS (
+  SELECT c_mktsegment, count(DISTINCT c_custkey) AS nc,
+         count(*) AS no, CAST(sum(c) AS DOUBLE) AS s
+  FROM e GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(nc AS BIGINT) AS n_customers,
+       CAST(no AS BIGINT) AS n_orders,
+       s / CAST(no AS DOUBLE) / 100 AS aov,
+       CAST(no AS DOUBLE) / CAST(nc AS DOUBLE) AS orders_per_customer,
+       (s / CAST(no AS DOUBLE) / 100)
+         * (CAST(no AS DOUBLE) / CAST(nc AS DOUBLE)) * 0.3
+         AS clv_margin30
+FROM per
+"""
+
+ORACLES["max_drawdown"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT d, sum(r) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER () AS n
+  FROM daily
+), scored AS (
+  SELECT d, n, cum,
+         max(cum) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) - cum
+           AS dd
+  FROM seq
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       strftime(d, '%Y-%m-%d') AS trough_day,
+       CAST(dd AS DOUBLE) / 100 AS max_drawdown,
+       CAST(cum AS DOUBLE) / 100 AS cum_at_trough
+FROM scored ORDER BY dd DESC, d LIMIT 1
+"""
+
+ORACLES["supply_risk"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+), per AS (
+  SELECT l_partkey, count(*) AS k, sum(q) AS s, sum(q * q) AS s2
+  FROM ps GROUP BY 1
+), h AS (
+  SELECT k,
+         CAST(round((CAST(s2 AS DOUBLE)
+              / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS hu
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS n_suppliers,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(hu) AS DOUBLE) / 1000000.0
+         / CAST(count(*) AS DOUBLE) AS avg_hhi
+FROM h GROUP BY 1
+"""

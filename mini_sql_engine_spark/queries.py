@@ -7893,6 +7893,144 @@ def wilson_daily_error(spark, sf_dir):
     )
 
 
+# ─────────────── §2.37 round-7 (cycle-8) additions ───────────────
+
+
+def returns_impact(spark, sf_dir):
+    """Year-over-year return impact: line share and revenue share of
+    returned items (`l_returnflag = 'R'`) — the quality/logistics
+    trend behind `q10_returned`'s customer ranking. One conditional
+    aggregate per year; counts and cents sums exact; shares are
+    IEEE divisions on identical operands."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    is_r = F.col("l_returnflag") == "R"
+    per = li.groupBy(F.year("l_shipdate").cast("long").alias("year")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(is_r).alias("_nr"),
+        F.sum(cents.cast("decimal(38,0)")).cast("double").alias("_s"),
+        F.sum(F.when(is_r, cents).cast("decimal(38,0)")).cast("double")
+        .alias("_sr"))
+    return per.select(
+        "year",
+        F.col("_n").cast("long").alias("n_lines"),
+        F.col("_nr").cast("long").alias("n_returned"),
+        (F.col("_nr").cast("double") / F.col("_n").cast("double"))
+        .alias("return_rate"),
+        (F.col("_sr") / F.col("_s")).alias("returned_revenue_share"),
+    )
+
+
+def discount_bands(spark, sf_dir):
+    """Discount-effectiveness table: per integer discount band
+    (0–10 %), does a deeper discount actually move more units? —
+    the pricing readout behind `q14_promo`/`q19_disc_revenue`.
+    The band is an exact integer (basis points /100); per-band
+    means are exact-sum divisions; one hash aggregate."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    band = F.round(F.col("l_discount") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.groupBy(band.alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum(qty).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            (F.sum(cents.cast("decimal(38,0)")).cast("double")
+             / F.count(F.lit(1)).cast("double") / 100)
+            .alias("avg_line_revenue"),
+        )
+    )
+
+
+def clv_summary(spark, sf_dir):
+    """Simple customer-lifetime-value decomposition per market
+    segment: CLV = AOV × orders-per-customer × 30 % margin — the
+    planning number `rfm_quintiles` scores individuals against.
+    Every factor derives from the same exact (Σcents, n_orders,
+    n_customers) aggregate, so the decomposition is internally
+    consistent by construction (AOV·OPC ≡ revenue/customer)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count_distinct("c_custkey").alias("_nc"),
+             F.count(F.lit(1)).alias("_no"),
+             F.sum(cents.cast("decimal(38,0)")).cast("double")
+             .alias("_s"))
+    )
+    aov = F.col("_s") / F.col("_no").cast("double") / 100
+    opc = F.col("_no").cast("double") / F.col("_nc").cast("double")
+    return per.select(
+        "c_mktsegment",
+        F.col("_nc").cast("long").alias("n_customers"),
+        F.col("_no").cast("long").alias("n_orders"),
+        aov.alias("aov"), opc.alias("orders_per_customer"),
+        (aov * opc * F.lit(0.3)).alias("clv_margin30"),
+    )
+
+
+def max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative daily revenue curve
+    (peak-to-trough of the running total) — the risk statistic that
+    summarizes `cusum_shift`'s worst stretch in business terms.
+    Cumulative and running-max windows run over the BOUNDED per-day
+    table (exact integer cents); the argmax is a top-1 TakeOrdered
+    with a day tie-break."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = (o.groupBy(F.to_date("o_orderdate").alias("_d"))
+             .agg(F.sum(cents).alias("_r")))
+    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "_d",
+        F.sum("_r").over(w).alias("_cum"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding,
+                Window.unboundedFollowing)).alias("_n"))
+    scored = seq.select(
+        "_d", "_n", "_cum",
+        (F.max("_cum").over(w) - F.col("_cum")).alias("_dd"))
+    best = scored.orderBy(F.col("_dd").desc(), "_d").limit(1)
+    return best.select(
+        F.col("_n").cast("long").alias("n_days"),
+        F.date_format("_d", "yyyy-MM-dd").alias("trough_day"),
+        (F.col("_dd").cast("double") / 100).alias("max_drawdown"),
+        (F.col("_cum").cast("double") / 100).alias("cum_at_trough"),
+    )
+
+
+def supply_risk(spark, sf_dir):
+    """Supplier-concentration risk profile: per part, the HHI of its
+    quantity share across suppliers (1 = single-sourced), summarized
+    by supplier count — `herfindahl`'s procurement sibling. Both
+    aggregations shuffle on their natural keys; HHI is Σq²/(Σq)² on
+    exact integers, per-class mean µ-rounded-then-exact-summed."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(qty).alias("_q")))
+    per = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_s2"))
+    hhi = (F.col("_s2").cast("double")
+           / (F.col("_s").cast("double") * F.col("_s").cast("double")))
+    hhi_u = F.round(hhi * 1e6, 0).cast("long")
+    return (
+        per.select(F.col("_k").cast("long").alias("n_suppliers"),
+                   hhi_u.alias("_hu"))
+        .groupBy("n_suppliers")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+             (F.sum("_hu").cast("double") / 1e6
+              / F.count(F.lit(1)).cast("double")).alias("avg_hhi"))
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -8017,6 +8155,12 @@ QUERIES: dict[str, QueryFn] = {
     "xyz_class": xyz_class,
     "pareto_knee": pareto_knee,
     "wilson_daily_error": wilson_daily_error,
+    # ─── round-7 cycle-8 additions (same overflow queue) ───
+    "returns_impact": returns_impact,
+    "discount_bands": discount_bands,
+    "clv_summary": clv_summary,
+    "max_drawdown": max_drawdown,
+    "supply_risk": supply_risk,
     # ─── green hash-checked keys, stalest first (r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

@@ -1003,6 +1003,22 @@ def test_round7c7_shapes_stay_jvm_side(spark):
             assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
 
 
+ROUND7C8_KEYS = [
+    "returns_impact", "discount_bands", "clv_summary", "max_drawdown",
+    "supply_risk",
+]
+
+
+def test_round7c8_shapes_stay_jvm_side(spark):
+    """Cycle-8 additions: pure keyed aggregates and bounded-table
+    windows — no Python crossing, no nested loop anywhere."""
+    for qkey in ROUND7C8_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
 def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
     """End-to-end gate over every registry caller of the prefix-sum
     machinery (VERDICT r6 ask #3): the executed plan of each Qkey
