@@ -7240,9 +7240,29 @@ def theil_sen(spark, sf_dir):
     a, b = idx.alias("a"), idx.alias("b")
     slope = ((F.col("b._r") - F.col("a._r")).cast("double")
              / (F.col("b._x") - F.col("a._x")).cast("double"))
-    sl = (a.join(F.broadcast(b), F.col("a._x") < F.col("b._x"))
-          .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
-               F.percentile(slope, 0.5).alias("_m")))
+    # median of ~3M slopes via the DISTRIBUTED rank machinery: an
+    # exact `percentile` aggregate buffers+sorts every slope in ONE
+    # reducer (measured 8.5 s of this key's 9.4 s at sf0.1); ranking
+    # is a parallel range sort, and the median is the two middle
+    # order statistics interpolated with the IDENTICAL IEEE tree
+    # both engines' percentile_cont use: lo + 0.5·(hi − lo).
+    sl_tab = (a.join(F.broadcast(b), F.col("a._x") < F.col("b._x"))
+              .select(slope.alias("s"), F.col("a._x").alias("ax"),
+                      F.col("b._x").alias("bx")))
+    ranked = SO.with_rank(sl_tab, "s", "ax", "bx", alias="_rk")
+    nd = daily.agg(F.count(F.lit(1)).alias("_nd"))
+    np_expr = "_nd * (_nd - 1) div 2"  # n_pairs, exact integer
+    sel = ranked.crossJoin(F.broadcast(nd)).filter(
+        (F.col("_rk") == F.expr(f"({np_expr} + 1) div 2"))
+        | (F.col("_rk") == F.expr(f"({np_expr} + 2) div 2")))
+    sl = (
+        sel.agg(F.min("s").alias("_lo"), F.max("s").alias("_hi"),
+                F.max(F.expr(np_expr)).cast("long").alias("n_pairs"))
+        .select("n_pairs",
+                (F.col("_lo")
+                 + F.lit(0.5) * (F.col("_hi") - F.col("_lo")))
+                .alias("_m"))
+    )
     resid = F.col("_r").cast("double") - F.col("_m") * F.col("_x")
     return (
         idx.crossJoin(F.broadcast(sl))  # 1-row scalar

@@ -853,6 +853,9 @@ PREFIX_SUM_CALLER_KEYS = {
     # totals the skinny (part, cents) aggregate
     "heaps_curve": 1,
     "pareto_knee": 2,
+    # cycle-4 perf fix: theil_sen ranks the skinny slope table instead
+    # of a single-reducer exact percentile over ~3M values
+    "theil_sen": 1,
 }
 
 
