@@ -5751,3 +5751,88 @@ SELECT CAST(k AS BIGINT) AS n_suppliers,
          / CAST(count(*) AS DOUBLE) AS avg_hhi
 FROM h GROUP BY 1
 """
+
+
+# ───────────── round-7 cycle-9 oracles (§2.38) ─────────────
+
+ORACLES["orders_per_customer_hist"] = """
+WITH per AS (
+  SELECT o_custkey, count(*)::BIGINT AS k FROM orders GROUP BY 1
+)
+SELECT (1::BIGINT << (length(bin(k)) - 1)) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(k) AS BIGINT) AS n_orders,
+       CAST(count_if(k >= 2) AS BIGINT) AS n_repeat
+FROM per GROUP BY 1
+"""
+
+ORACLES["price_dispersion"] = """
+WITH e AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)
+           AS u
+  FROM lineitem
+), per AS (
+  SELECT l_partkey, count(*) AS n,
+         CAST(sum(u) AS DOUBLE) AS s,
+         CAST(sum(u * u) AS DOUBLE) AS s2
+  FROM e GROUP BY 1
+  HAVING count(*) >= 2
+), cv AS (
+  SELECT sqrt((s2 - s * s / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1))
+         / (s / CAST(n AS DOUBLE)) AS cv
+  FROM per
+)
+SELECT CASE WHEN cv < 0.01 THEN 'stable'
+            WHEN cv < 0.10 THEN 'minor'
+            WHEN cv < 0.25 THEN 'loose'
+            ELSE 'erratic' END AS dispersion_band,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(round(cv * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_cv
+FROM cv GROUP BY 1
+"""
+
+ORACLES["part_introduction"] = """
+WITH first AS (
+  SELECT l_partkey, min(year(l_shipdate)) AS y
+  FROM lineitem GROUP BY 1
+), per AS (
+  SELECT CAST(y AS BIGINT) AS year, count(*) AS new
+  FROM first GROUP BY 1
+)
+SELECT year,
+       CAST(new AS BIGINT) AS n_new_parts,
+       CAST(sum(new) OVER (ORDER BY year ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS catalog_cum
+FROM per
+"""
+
+ORACLES["lines_per_order_trend"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) AS DOUBLE)
+         / CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+         AS lines_per_order
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+ORACLES["region_share_trend"] = """
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year, r_name AS region,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT year, region,
+       CAST(c AS DOUBLE) / 100 AS revenue,
+       CAST(c AS DOUBLE)
+         / CAST(sum(c) OVER (PARTITION BY year) AS DOUBLE)
+         AS share_of_year
+FROM agg
+"""

@@ -8051,6 +8051,125 @@ def supply_risk(spark, sf_dir):
     )
 
 
+# ─────────────── §2.38 round-7 (cycle-9) additions ───────────────
+
+
+def orders_per_customer_hist(spark, sf_dir):
+    """Power-of-two histogram of orders per customer — the loyalty
+    shape readout (`order_interarrival` says WHEN they return, this
+    says HOW OFTEN), plus the repeat-purchase share. One grouped
+    count + one integer-exponent hash agg; all exact."""
+    o = Catalog(spark, sf_dir).table("orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_k"))
+    lo = F.expr("shiftleft(1L, length(bin(_k)) - 1)")
+    return (
+        per.groupBy(lo.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum("_k").cast("long").alias("n_orders"),
+             F.count_if(F.col("_k") >= 2).cast("long")
+             .alias("n_repeat"))
+    )
+
+
+def price_dispersion(spark, sf_dir):
+    """Unit-price dispersion per part (same part billed at varying
+    per-unit prices) bucketed into integrity bands — the pricing
+    audit that flags inconsistent catalogs before model features
+    read price. Unit cents are rounded ONCE per row; per-part cv
+    from power sums; per-band mean cv µ-rounded-then-summed."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity")
+                   * 100, 0).cast("long")
+    per = (li.groupBy("l_partkey")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sum(unit.cast("decimal(38,0)")).cast("double")
+                .alias("_s"),
+                F.sum((unit * unit).cast("decimal(38,0)"))
+                .cast("double").alias("_s2"))
+           .filter(F.col("_n") >= 2))
+    n = F.col("_n").cast("double")
+    cv = (F.sqrt((F.col("_s2") - F.col("_s") * F.col("_s") / n)
+                 / (n - 1)) / (F.col("_s") / n))
+    band = (F.when(cv < 0.01, "stable")
+            .when(cv < 0.10, "minor")
+            .when(cv < 0.25, "loose").otherwise("erratic"))
+    cv_u = F.round(cv * 1e6, 0).cast("long")
+    return (
+        per.select(band.alias("dispersion_band"), cv_u.alias("_cu"))
+        .groupBy("dispersion_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+             (F.sum("_cu").cast("double") / 1e6
+              / F.count(F.lit(1)).cast("double")).alias("avg_cv"))
+    )
+
+
+def part_introduction(spark, sf_dir):
+    """Catalog-growth curve: parts first sold per year, with the
+    cumulative active catalog — `heaps_curve`'s merchandising
+    sibling (how much NEW assortment each year adds). First-sale
+    attribution is one min-agg; the cumulative window runs over the
+    bounded per-year table."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    first = (li.groupBy("l_partkey")
+             .agg(F.min(F.year("l_shipdate")).alias("_y")))
+    per = first.groupBy(F.col("_y").cast("long").alias("year")).agg(
+        F.count(F.lit(1)).alias("_new"))
+    w = Window.orderBy("year").rowsBetween(
+        Window.unboundedPreceding, 0)  # bounded ≤ years rows
+    return per.select(
+        "year",
+        F.col("_new").cast("long").alias("n_new_parts"),
+        F.sum("_new").over(w).cast("long").alias("catalog_cum"),
+    )
+
+
+def lines_per_order_trend(spark, sf_dir):
+    """Basket-size trend: average lineitems per order by year — the
+    simplest mix-shift diagnostic behind any revenue trend (is
+    growth more orders or bigger orders?). One join, exact counts,
+    one IEEE division per year row."""
+    o = Catalog(spark, sf_dir).table("orders")
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(F.count_distinct("o_orderkey").cast("long")
+             .alias("n_orders"),
+             F.count(F.lit(1)).cast("long").alias("n_lines"),
+             (F.count(F.lit(1)).cast("double")
+              / F.count_distinct("o_orderkey").cast("double"))
+             .alias("lines_per_order"))
+    )
+
+
+def region_share_trend(spark, sf_dir):
+    """Region revenue-share trend by year — `share_of_parent`'s
+    time axis: is the mix shifting between regions? Fact aggregates
+    to (year × region) exact DECIMAL sums first; the per-year
+    normalizer is a window over that bounded ≤35-row table."""
+    o = Catalog(spark, sf_dir).table("orders")
+    c = Catalog(spark, sf_dir).table("customer")
+    n = Catalog(spark, sf_dir).table("nation")
+    r = Catalog(spark, sf_dir).table("region")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    agg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("year"),
+                 F.col("r_name").alias("region"))
+        .agg(F.sum(cents.cast("decimal(38,0)")).alias("_c"))
+    )
+    yr_tot = F.sum("_c").over(Window.partitionBy("year"))
+    return agg.select(
+        "year", "region",
+        (F.col("_c").cast("double") / 100).alias("revenue"),
+        (F.col("_c").cast("double") / yr_tot.cast("double"))
+        .alias("share_of_year"),
+    )
+
+
 # Ordering contract: the round driver records at most the FIRST 50
 # entries in CORRECTNESS_r{N}.json (observed cap in rounds 1–3).
 # Rotation invariant (pytest-enforced, tests/test_registry.py): the
@@ -8181,6 +8300,12 @@ QUERIES: dict[str, QueryFn] = {
     "clv_summary": clv_summary,
     "max_drawdown": max_drawdown,
     "supply_risk": supply_risk,
+    # ─── round-7 cycle-9 additions (same overflow queue) ───
+    "orders_per_customer_hist": orders_per_customer_hist,
+    "price_dispersion": price_dispersion,
+    "part_introduction": part_introduction,
+    "lines_per_order_trend": lines_per_order_trend,
+    "region_share_trend": region_share_trend,
     # ─── green hash-checked keys, stalest first (r1–r4) ───
     "q16_supplier_cnt": q16_supplier_cnt,
     "right_join": right_join,

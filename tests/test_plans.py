@@ -1022,6 +1022,23 @@ def test_round7c8_shapes_stay_jvm_side(spark):
         assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
 
 
+ROUND7C9_KEYS = [
+    "orders_per_customer_hist", "price_dispersion",
+    "part_introduction", "lines_per_order_trend",
+    "region_share_trend",
+]
+
+
+def test_round7c9_shapes_stay_jvm_side(spark):
+    """Cycle-9 additions: pure keyed aggregates plus bounded-table
+    windows — no Python crossing, no nested loop anywhere."""
+    for qkey in ROUND7C9_KEYS:
+        p = plan(Q.QUERIES[qkey](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
+        assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
 def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
     """End-to-end gate over every registry caller of the prefix-sum
     machinery (VERDICT r6 ask #3): the executed plan of each Qkey
