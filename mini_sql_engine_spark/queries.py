@@ -4646,9 +4646,22 @@ def minhash_est_quality(spark, sf_dir):
 
 def pq_encode(spark, sf_dir):
     """Product-quantization encode of the embedding corpus (rows-only
-    Qkey; numpy replay oracle in pytest)."""
+    Qkey; numpy replay oracle in pytest).
+
+    Driver surface (VERDICT r7 #2): the driver canonicalizer lowers
+    results to pandas and sorts cells, and ARRAY cells crash
+    ``sort_values`` (unhashable list) — so the m int codes are
+    emitted as one comma-joined STRING column here. The array form
+    stays on ``SIM.product_quantize`` for the numpy replay test and
+    for downstream ADC scoring (``sim_ivfpq``)."""
     emb = Catalog(spark, sf_dir).table("embeddings")
-    return SIM.product_quantize(emb)
+    pq = SIM.product_quantize(emb)
+    return pq.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",")
+        .alias("codes"),
+        "recon_err",
+    )
 
 
 def autocorr_daily(spark, sf_dir):
@@ -8184,16 +8197,72 @@ def region_share_trend(spark, sf_dir):
 # reaches a driver row in bounded rounds with zero reordering risk.
 # Key order never affects semantics; every entry is independent.
 QUERIES: dict[str, QueryFn] = {
-    # ─── ROTATION (round 7): ungreen hash-checked keys first ───
+    # ─── ROTATION (round 8): additions FROZEN; closure round ───
     # The driver records only the first 50 entries per round; every
-    # hash-checked key lacking a green CORRECTNESS_r* row must sit in
-    # a contiguous prefix (tests/test_registry.py).  19 ungreen after
-    # r06 (the r6 overflow at old positions 50–68) lead; round-7's
-    # new hash-checked ops append directly after them (still inside
-    # the ungreen prefix), then the 18 rows-only keys take the
-    # remaining front-50 slots so each finally gets a driver
-    # rows/schema row — 19 + 13 new + 18 = 50 closes full driver
-    # coverage of the entire registry.
+    # hash-checked key lacking a green CORRECTNESS_r* row must sit
+    # in a contiguous prefix (tests/test_registry.py).  After r07
+    # exactly 46 hash-checked keys (the cycle-3…9 overflow) have no
+    # driver row — they take positions 0–45.  Position 46 is the
+    # repaired ``pq_encode`` (its r7 driver row was an ERR from an
+    # ARRAY cell, now a comma-joined string — the only registry key
+    # with no clean execution row).  Positions 47–49 go to the three
+    # stalest greens (r1-era).  ZERO new Qkeys this round (VERDICT
+    # r7 ask #1): 46 + 1 + 3 = 50 means CORRECTNESS_r08 leaves no
+    # registry key without driver evidence — the rotation program
+    # terminates.
+    "yoy_growth": yoy_growth,
+    "rank_change": rank_change,
+    "mk_trend": mk_trend,
+    "cusum_shift": cusum_shift,
+    "rrf_fusion": rrf_fusion,
+    "ndcg_eval": ndcg_eval,
+    "calibration_ece": calibration_ece,
+    "partial_corr": partial_corr,
+    "srm_check": srm_check,
+    "km_survival": km_survival,
+    "poisson_rate_test": poisson_rate_test,
+    "session_depth_hist": session_depth_hist,
+    "stream_sliding": stream_sliding,
+    "ses_forecast": ses_forecast,
+    "theil_sen": theil_sen,
+    "bootstrap_ci": bootstrap_ci,
+    "power_analysis": power_analysis,
+    "degree_hist": degree_hist,
+    "lsh_tuning_curve": lsh_tuning_curve,
+    "stream_session": stream_session,
+    "shingle_novelty": shingle_novelty,
+    "lateness_profile": lateness_profile,
+    "neyman_alloc": neyman_alloc,
+    "seasonal_index": seasonal_index,
+    "share_of_parent": share_of_parent,
+    "fulfillment_latency": fulfillment_latency,
+    "target_encode_loo": target_encode_loo,
+    "session_conversion": session_conversion,
+    "hour_dow_heatmap": hour_dow_heatmap,
+    "col_entropy_profile": col_entropy_profile,
+    "quantile_normalize": quantile_normalize,
+    "lang_confusion": lang_confusion,
+    "heaps_curve": heaps_curve,
+    "xyz_class": xyz_class,
+    "pareto_knee": pareto_knee,
+    "wilson_daily_error": wilson_daily_error,
+    "returns_impact": returns_impact,
+    "discount_bands": discount_bands,
+    "clv_summary": clv_summary,
+    "max_drawdown": max_drawdown,
+    "supply_risk": supply_risk,
+    "orders_per_customer_hist": orders_per_customer_hist,
+    "price_dispersion": price_dispersion,
+    "part_introduction": part_introduction,
+    "lines_per_order_trend": lines_per_order_trend,
+    "region_share_trend": region_share_trend,
+    # ─── position 46: the one key with no clean driver row ───
+    "pq_encode": pq_encode,
+    # ─── positions 47–49: stalest greens (r1-era) ───
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "right_join": right_join,
+    "dedup_cc": dedup_cc,
+    # ─── r7 front-window keys (all greened in CORRECTNESS_r07) ───
     "feature_hashing": feature_hashing,
     "corpus_drift": corpus_drift,
     "mutual_info": mutual_info,
@@ -8213,7 +8282,6 @@ QUERIES: dict[str, QueryFn] = {
     "ks_test": ks_test,
     "psi_drift": psi_drift,
     "fk_orphans": fk_orphans,
-    # ─── round-7 additions (new hash-checked ops, ungreen) ───
     "token_len_buckets": token_len_buckets,
     "smoothed_rates": smoothed_rates,
     "order_interarrival": order_interarrival,
@@ -8227,9 +8295,7 @@ QUERIES: dict[str, QueryFn] = {
     "spearman_corr": spearman_corr,
     "iqr_scale_approx": iqr_scale_approx,
     "stream_tumbling": stream_tumbling,
-    # ─── rows-only keys (no SQL oracle; numpy/pytest oracles) —
-    #     rotated into the front-50 this round for driver rows/schema
-    #     evidence (VERDICT r6 ask #1) ───
+    # ─── rows-only keys (driver execution evidence in r07) ───
     "user_ewma": user_ewma,
     "dedup_near": dedup_near,
     "dedup_simhash": dedup_simhash,
@@ -8245,71 +8311,9 @@ QUERIES: dict[str, QueryFn] = {
     "pca_project": pca_project,
     "kmeans_clusters": kmeans_clusters,
     "dedup_eval": dedup_eval,
-    "pq_encode": pq_encode,
     "sim_ivfpq": sim_ivfpq,
     "compress_ratio": compress_ratio,
-    # ─── round-7 cycle-3 additions (ungreen overflow queue) ───
-    # These 13 hash-checked keys have no driver row yet; they sit
-    # directly after the front-50 (still ahead of every green key,
-    # preserving the contiguous ungreen prefix) so they rotate into
-    # the driver window in round 8 without displacing this round's
-    # full-coverage closure of the 19+18 backlog.
-    "yoy_growth": yoy_growth,
-    "rank_change": rank_change,
-    "mk_trend": mk_trend,
-    "cusum_shift": cusum_shift,
-    "rrf_fusion": rrf_fusion,
-    "ndcg_eval": ndcg_eval,
-    "calibration_ece": calibration_ece,
-    "partial_corr": partial_corr,
-    "srm_check": srm_check,
-    "km_survival": km_survival,
-    "poisson_rate_test": poisson_rate_test,
-    "session_depth_hist": session_depth_hist,
-    "stream_sliding": stream_sliding,
-    # ─── round-7 cycle-4 additions (same overflow queue) ───
-    "ses_forecast": ses_forecast,
-    "theil_sen": theil_sen,
-    "bootstrap_ci": bootstrap_ci,
-    "power_analysis": power_analysis,
-    "degree_hist": degree_hist,
-    "lsh_tuning_curve": lsh_tuning_curve,
-    "stream_session": stream_session,
-    # ─── round-7 cycle-5 additions (same overflow queue) ───
-    "shingle_novelty": shingle_novelty,
-    "lateness_profile": lateness_profile,
-    "neyman_alloc": neyman_alloc,
-    "seasonal_index": seasonal_index,
-    "share_of_parent": share_of_parent,
-    "fulfillment_latency": fulfillment_latency,
-    # ─── round-7 cycle-6 additions (same overflow queue) ───
-    "target_encode_loo": target_encode_loo,
-    "session_conversion": session_conversion,
-    "hour_dow_heatmap": hour_dow_heatmap,
-    "col_entropy_profile": col_entropy_profile,
-    "quantile_normalize": quantile_normalize,
-    # ─── round-7 cycle-7 additions (same overflow queue) ───
-    "lang_confusion": lang_confusion,
-    "heaps_curve": heaps_curve,
-    "xyz_class": xyz_class,
-    "pareto_knee": pareto_knee,
-    "wilson_daily_error": wilson_daily_error,
-    # ─── round-7 cycle-8 additions (same overflow queue) ───
-    "returns_impact": returns_impact,
-    "discount_bands": discount_bands,
-    "clv_summary": clv_summary,
-    "max_drawdown": max_drawdown,
-    "supply_risk": supply_risk,
-    # ─── round-7 cycle-9 additions (same overflow queue) ───
-    "orders_per_customer_hist": orders_per_customer_hist,
-    "price_dispersion": price_dispersion,
-    "part_introduction": part_introduction,
-    "lines_per_order_trend": lines_per_order_trend,
-    "region_share_trend": region_share_trend,
     # ─── green hash-checked keys, stalest first (r1–r4) ───
-    "q16_supplier_cnt": q16_supplier_cnt,
-    "right_join": right_join,
-    "dedup_cc": dedup_cc,
     "contamination": contamination,
     "corpus_mix": corpus_mix,
     "merge_upsert": merge_upsert,

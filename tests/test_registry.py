@@ -70,30 +70,33 @@ def test_every_query_key_has_oracle_or_is_declared_rows_only():
 
 
 def test_hash_checked_outputs_use_driver_safe_types_only(spark):
-    """Driver-canon output-type discipline (VERDICT r5 root cause):
-    the round driver lowers both result sets to pandas and compares
-    stringified cells, so a Spark DECIMAL ("115906.00") vs DuckDB
-    float64 ("115906.0") mismatches on every trailing-zero value,
-    DATE vs TIMESTAMP stringify differently, and ARRAY/MAP cells
-    crash pandas sort_values.  Every hash-checked key must therefore
-    emit only DOUBLE / integral / STRING / BOOLEAN / TIMESTAMP
-    columns (timestamps and booleans are proven safe by green rows).
-    Plan-only — schemas resolve without executing a single job."""
+    """Driver-canon output-type discipline (VERDICT r5 root cause,
+    widened to the FULL registry in r8 after ``pq_encode`` — a
+    rows-only key — crashed the driver's pandas canonicalizer with
+    an ARRAY cell in r7): the round driver lowers every result set,
+    hash-checked or not, to pandas and sorts cells, so a Spark
+    DECIMAL ("115906.00") vs DuckDB float64 ("115906.0") mismatches
+    on every trailing-zero value, DATE vs TIMESTAMP stringify
+    differently, and ARRAY/MAP cells crash pandas sort_values.
+    Every ``queries()`` entry must therefore emit only DOUBLE /
+    integral / STRING / BOOLEAN / TIMESTAMP columns (timestamps and
+    booleans are proven safe by green rows).  Array-valued internals
+    (signatures, embeddings, PQ codes) stay on the pipeline-layer
+    functions; the Qkey surface joins them to strings.  Plan-only —
+    schemas resolve without executing a single job."""
     from pyspark.sql import types as T
 
     banned = (T.DecimalType, T.DateType, T.ArrayType, T.MapType,
               T.BinaryType, T.StructType)
     offenders = []
     for key, fn in QUERIES.items():
-        if key not in ORACLES:
-            continue  # rows-only keys may ship arrays/vectors freely
         schema = fn(spark, SF_SMOKE).schema
         for field in schema.fields:
             if isinstance(field.dataType, banned):
                 offenders.append(
                     f"{key}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, (
-        "driver-hostile output types in hash-checked keys "
+        "driver-hostile output types in registry keys "
         f"(pandas canon would red them): {offenders}"
     )
 

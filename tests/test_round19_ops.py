@@ -65,7 +65,8 @@ def test_pq_encode_matches_numpy_replay(spark):
     """Driver-side PQ training + Arrow-batched encode == a pure-numpy
     replay of the identical subsample, per-subspace Lloyd, and argmin
     (rows-only Qkey oracle)."""
-    got = {r["vec_id"]: (list(r["codes"]), r["recon_err"])
+    got = {r["vec_id"]: ([int(c) for c in r["codes"].split(",")],
+                         r["recon_err"])
            for r in Q.pq_encode(spark, SF_SMOKE).collect()}
     emb = Catalog(spark, SF_SMOKE).table("embeddings")
     rows = (emb.select("vec_id", "embedding",
