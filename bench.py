@@ -89,11 +89,13 @@ def main() -> None:
 
 # Second series at ~10× the base SF (≈ sf1 when base is sf0.1): the
 # proof the plans scale, not just pass. Fact tables are replicated
-# with disjoint key universes (scripts/stress_scale.py); these keys
-# exercise scans, hash/broadcast joins, window funcs, subqueries, and
-# sorts on the 10× facts. documents/embeddings/events Qkeys are
-# excluded here — the blow-up does not scale those tables (their 10×
-# evidence is the stress table in BASELINE.md).
+# with disjoint key universes, and documents/embeddings additionally
+# with disjoint CONTENT per copy (scripts/stress_scale.py — verbatim
+# replication had given every doc 9 exact duplicates, turning the
+# dedup/CC keys into a duplicate-density stress rather than a data-
+# growth measurement). These keys exercise scans, hash/broadcast
+# joins, window funcs, subqueries, sorts, and the LLM-pipeline
+# kernels on the 10× input.
 SF1_KEYS = [
     "scan_table", "filter_and", "group_agg", "group_agg_salted",
     "equi_join", "join3", "q3_topk", "q5_local_suppliers",
@@ -127,10 +129,10 @@ SF1_KEYS = [
     # grouped running total) and the per-char/per-vector heavyweights.
     # The blow-up now replicates documents/embeddings too (disjoint
     # doc_id/vec_id universes), so these run on a true 10× input.
-    # label_noise deliberately re-runs the BRUTE-FORCE kNN witness
-    # (queries × corpus both scale ⇒ ~copies² work by construction) —
-    # its factor documents that quadratic honestly; the at-scale
-    # kernel for the same audit is the ANN path (sim_ann/sim_ivf).
+    # label_noise/knn_label run the brute-force kNN witness on the
+    # KNN_QUERY_CAP=128 md5 query sample (VERDICT r7 #4) — fixed
+    # queries × growing corpus ⇒ linear work; the at-scale kernel
+    # for the same audit is the ANN path (sim_ann/sim_ivf/sim_ivfpq).
     "ks_test", "score_auc", "gini_index", "char_entropy", "label_noise",
     # round-7 cycle-3 shapes on the replicated facts: the bounded
     # pair-join Mann-Kendall (days don't scale — factor isolates the
@@ -147,6 +149,18 @@ SF1_KEYS = [
     # shingle novelty join on 10× documents.
     "quantile_normalize", "pareto_knee", "target_encode_loo",
     "xyz_class", "bootstrap_ci", "shingle_novelty",
+    # round-8 (VERDICT r7 ask #5): the heaviest LLM-pipeline keys at
+    # sf0.1 join the series so their scale behavior is measured, not
+    # asserted — banded LSH bucket join (lsh_candidates), MinHash
+    # signature agg (minhash_sig) and its estimator-quality join
+    # (minhash_est_quality), connected components + survivors +
+    # observability (dedup_cc / cluster_canonical / cluster_sizes),
+    # the end-to-end corpus composition (corpus_pipeline), the
+    # dedup P/R harness (dedup_eval), the capped brute kNN witness
+    # (knn_label), and the double-rank correlation (spearman_corr).
+    "corpus_pipeline", "lsh_candidates", "cluster_canonical",
+    "dedup_eval", "minhash_est_quality", "cluster_sizes", "knn_label",
+    "dedup_cc", "spearman_corr", "minhash_sig",
 ]
 
 
@@ -165,7 +179,7 @@ def maybe_bench_sf1(spark, base_sf_dir: str, base_sf: float):
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        marker = os.path.join(out, f".built_v2_{copies}")
+        marker = os.path.join(out, f".built_v3_{copies}")
         if not os.path.exists(marker):
             mod.build(spark, base_sf_dir, out, copies)
             with open(marker, "w") as fh:

@@ -2128,6 +2128,8 @@ ORACLES["knn_label"] = """
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv FROM embeddings
   WHERE vec_id % 10 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 128
 ), c AS (
   SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings
   WHERE vec_id % 10 <> 0
@@ -4252,6 +4254,8 @@ ORACLES["label_noise"] = """
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv FROM embeddings
   WHERE vec_id % 10 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 128
 ), c AS (
   SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings
   WHERE vec_id % 10 <> 0

@@ -42,6 +42,17 @@ from mini_sql_engine_spark.streaming import event_windows as EW
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Query-side cap for the brute-force kNN witness keys (`knn_label`,
+# `label_noise`): the ≤128 query vectors with the smallest portable
+# md5(vec_id) hex.  Below the cap (sf0.001/sf0.01: 50 queries — the
+# correctness-gate SFs) the sample IS the full %10 set, so driver
+# hashes are bit-identical to the uncapped form; above it (sf0.1+)
+# the witness is O(cap · corpus) instead of O(corpus²), so the 10×
+# series measures a linear plan — the at-scale kNN path is
+# `sim_ann`/`sim_ivf`/`sim_ivfpq`.  Mirrored verbatim in the DuckDB
+# oracles (same ORDER BY md5 LIMIT).
+KNN_QUERY_CAP = 128
+
 
 # ───────────────────────── §2.1 scans ─────────────────────────
 
@@ -3134,23 +3145,35 @@ def lm_score(spark, sf_dir):
 def knn_label(spark, sf_dir):
     """k-NN label assignment (k=3) over embeddings — the supervised
     twin of the similarity kernels, hash-checked end to end: query
-    set = vec_id % 10 == 0, candidates = the rest, exact cosine via
-    the shared index-order scoring kernel (`embed_cosine_adj`
-    witnesses its cross-engine bit-parity), neighbors ranked on the
-    ROUNDED score with vec_id tie-break (float ties at 4 decimals
-    are expected and must break identically), majority label with
-    min-label tie-break. Brute-force by construction — the
-    hash-checkable witness for `sim_ann`/`sim_ivf`, which are the
-    100 TB path (bucketed candidates, same scoring kernel)."""
+    set = vec_id % 10 == 0 CAPPED at the KNN_QUERY_CAP=128 vectors
+    with the smallest portable md5(vec_id) (VERDICT r7 #4: the brute
+    witness must stay O(sample·corpus), not O(corpus²) — at the
+    correctness-gate SFs the %10 set is under the cap so driver
+    hashes are bit-identical to the uncapped form; at sf0.1+ the
+    fixed sample keeps the witness linear in corpus size). Candidates = the rest, exact
+    cosine via the shared index-order scoring kernel
+    (`embed_cosine_adj` witnesses its cross-engine bit-parity),
+    neighbors ranked on the ROUNDED score with vec_id tie-break
+    (float ties at 4 decimals are expected and must break
+    identically), majority label with min-label tie-break.
+    Brute-force per query by construction — the hash-checkable
+    witness for `sim_ann`/`sim_ivf`, which are the 100 TB path
+    (bucketed candidates, same scoring kernel)."""
     from mini_sql_engine_spark.pipeline.similarity import _dot, _norm
 
     emb = Catalog(spark, sf_dir).table("embeddings")
     # norms PROJECTED before the fan-out join: each side's norm is
     # evaluated once per input row, not once per (query, candidate)
     # pair — same doubles, same rounded sims, ~N x cheaper
-    q = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
-        _norm(F.col("embedding")).alias("_qn"))
+    # deterministic fixed-size query sample: top-N by md5 hex (same
+    # string both engines) → TakeOrderedAndProject, never a sort
+    q = (emb.filter(F.col("vec_id") % 10 == 0)
+         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+         .limit(KNN_QUERY_CAP)
+         .select(
+             F.col("vec_id").alias("q_id"),
+             F.col("embedding").alias("qv"),
+             _norm(F.col("embedding")).alias("_qn")))
     c = emb.filter(F.col("vec_id") % 10 != 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"),
         "label", _norm(F.col("embedding")).alias("_cn"))
@@ -6058,8 +6081,12 @@ def label_noise(spark, sf_dir):
     vote disagrees with the stored label — the screen you run before
     trusting labels for training (mislabeled clusters light up as
     high-noise labels). Reuses the hash-verified `knn_label`
-    prediction kernel end to end; the audit itself is one broadcast
-    join + one tiny aggregate; rate is exact BIGINT/BIGINT."""
+    prediction kernel end to end — including its KNN_QUERY_CAP=128
+    md5-sampled query side (VERDICT r7 #4), which the inner join
+    below propagates to the audit (only sampled queries are graded,
+    on both engines), keeping the whole key O(cap·corpus). The audit
+    itself is one join + one tiny aggregate; rate is exact
+    BIGINT/BIGINT."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     own = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("q_id"),

@@ -44,7 +44,9 @@ KEYS = {
     # round 7: documents/embeddings join nothing else, so replicating
     # them with offset ids gives the text/vector Qkeys a real 10×
     # input too (the offset is ≡0 mod 10, preserving the vec_id%10
-    # query-set residue the kNN keys select on)
+    # query-set residue the kNN keys select on); round 8 additionally
+    # perturbs each copy's CONTENT (_perturb_copy) so the blow-up
+    # models more data, not a 10×-duplicated corpus
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
@@ -58,13 +60,53 @@ HEADLINE = ["group_agg", "q3_topk", "q5_local_suppliers", "equi_join",
             "latest_per_key", "top_k", "stats_agg", "exists_subquery"]
 
 
-def scale_table(df: DataFrame, keys: list[str], copies: int) -> DataFrame:
+def _perturb_copy(table: str, df: DataFrame, i: int) -> DataFrame:
+    """Make copy i>0 DISTINCT in content, not just in keys (round 8).
+
+    Replicating documents/embeddings verbatim under offset ids gave
+    every doc/vector 9 exact duplicates — cross-copy near-dup edges
+    grew ~copies² (bucket-capped), so the dedup/CC keys measured a
+    pathological duplicate-density shift, not data growth.  A real
+    10× corpus is 10× more DISTINCT content, so:
+
+    - documents: every token gets a per-copy prefix (``c3token``) —
+      a bijective token rename, so all within-copy shingle/Jaccard/
+      MinHash structure is preserved exactly while cross-copy token
+      overlap drops to zero;
+    - embeddings: a deterministic per-(copy, dim) additive offset
+      rotates each copy's vectors into its own region of the space —
+      within-copy geometry is approximately preserved, cross-copy
+      near-dup collapse is gone.
+
+    Copy 0 is always the untouched base table."""
+    if i == 0:
+        return df
+    if table == "documents":
+        return df.withColumn(
+            "text",
+            F.regexp_replace("text", r"(^|\s)", r"$1c%d" % i))
+    if table == "embeddings":
+        return df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, j: (
+                    x.cast("double")
+                    + F.sin(j.cast("double") * 2.399963
+                            + F.lit(float(i))) * 0.1
+                ).cast("float")))
+    return df
+
+
+def scale_table(df: DataFrame, table: str, keys: list[str],
+                copies: int) -> DataFrame:
     out = None
     for i in range(copies):
         c = df
         for k in keys:
             if k not in NO_OFFSET:
                 c = c.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+        c = _perturb_copy(table, c, i)
         out = c if out is None else out.unionByName(c)
     return out
 
@@ -74,7 +116,7 @@ def build(spark, src: str, dst: str, copies: int) -> None:
     for t in ["region", "nation", "events"]:
         cat.table(t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     for t, keys in KEYS.items():
-        scale_table(cat.table(t), keys, copies).write.mode(
+        scale_table(cat.table(t), t, keys, copies).write.mode(
             "overwrite"
         ).parquet(f"{dst}/{t}.parquet")
 
@@ -105,7 +147,7 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark(app_name="stress-scale")
-    marker = os.path.join(args.out, f".built_v2_{args.copies}")
+    marker = os.path.join(args.out, f".built_v3_{args.copies}")
     if not os.path.exists(marker):
         t0 = time.time()
         build(spark, args.src, args.out, args.copies)
