@@ -5010,9 +5010,12 @@ WITH e AS (
                 * (CAST(n AS DOUBLE) * szz - sz * sz)) AS r_yz
   FROM s
 )
-SELECT CAST(n AS BIGINT) AS n_rows, r_xy, r_xz, r_yz,
-       (r_xy - r_xz * r_yz)
-       / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)) AS r_xy_given_z
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(r_xy, 6) AS r_xy, round(r_xz, 6) AS r_xz,
+       round(r_yz, 6) AS r_yz,
+       round((r_xy - r_xz * r_yz)
+             / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)), 6)
+         AS r_xy_given_z
 FROM r
 """
 
@@ -5514,14 +5517,21 @@ WITH v AS (
   SELECT v AS qnorm_v,
          row_number() OVER (ORDER BY v, l_orderkey, l_linenumber) AS ri
   FROM v
+), idx AS (
+  -- materialize the integer index BEFORE the lookup join: an ON
+  -- clause that computes the key from three relations inline makes
+  -- DuckDB fall back to a nested-loop join (O(N²) — ~an hour at
+  -- sf0.1); on a plain column equality it hash-joins (linear)
+  SELECT a.l_orderkey, a.l_linenumber, a.g, a.v,
+         CAST(round(
+             (CASE WHEN ng > 1
+                   THEN CAST(a.r - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
+                   ELSE 0.0 END) * CAST(nt - 1 AS DOUBLE)) AS BIGINT)
+           + 1 AS _idx
+  FROM rg a JOIN cnt USING (g) CROSS JOIN nn
 )
-SELECT a.l_orderkey, a.l_linenumber, a.g, a.v, gv.qnorm_v
-FROM rg a
-JOIN cnt USING (g) CROSS JOIN nn
-JOIN gv ON gv.ri = CAST(round(
-    (CASE WHEN ng > 1
-          THEN CAST(a.r - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
-          ELSE 0.0 END) * CAST(nt - 1 AS DOUBLE)) AS BIGINT) + 1
+SELECT i.l_orderkey, i.l_linenumber, i.g, i.v, gv.qnorm_v
+FROM idx i JOIN gv ON gv.ri = i._idx
 """
 
 

@@ -6997,8 +6997,13 @@ def partial_corr(spark, sf_dir):
     the first-order version of what `corr_matrix` reports raw.
     All three marginals come from ONE aggregate over exact integer
     encodings (units, cents, basis points; per-row products bounded,
-    sums in DECIMAL(38)), so every r is identical IEEE arithmetic
-    on identical operands; r_xy·z = (r_xy − r_xz·r_yz)/√(…) on top."""
+    sums in DECIMAL(38)); r_xy·z = (r_xy − r_xz·r_yz)/√(…) on top.
+    Round 8: the cents² power sum exceeds 2⁵³ at sf0.1 (~9e18), and
+    Spark's DECIMAL→DOUBLE and DuckDB's HUGEINT→DOUBLE conversions
+    round such integers differently by 1 ulp — so the r outputs are
+    rounded at 6 decimals on both engines (the `corr_matrix` /
+    `moments_agg` discipline), which absorbs the conversion noise at
+    any scale."""
     li = Catalog(spark, sf_dir).table("lineitem")
     x = F.round(F.col("l_quantity"), 0).cast("long")
     y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
@@ -7024,9 +7029,11 @@ def partial_corr(spark, sf_dir):
     r_yz = r("_syz", "_sy", "_sz", "_syy", "_szz")
     return agg.select(
         F.col("_n").cast("long").alias("n_rows"),
-        r_xy.alias("r_xy"), r_xz.alias("r_xz"), r_yz.alias("r_yz"),
-        ((r_xy - r_xz * r_yz)
-         / F.sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)))
+        F.round(r_xy, 6).alias("r_xy"),
+        F.round(r_xz, 6).alias("r_xz"),
+        F.round(r_yz, 6).alias("r_yz"),
+        F.round((r_xy - r_xz * r_yz)
+                / F.sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)), 6)
         .alias("r_xy_given_z"),
     )
 
