@@ -106,6 +106,17 @@ def with_rank(
             alias)
         if routed is not None:
             return routed
+    else:
+        # Column-expression keys bypass the skinny routing, so the
+        # contract "pass a skinny frame" must HOLD, not be hoped for:
+        # a wide frame's two exchange branches prune differently and
+        # sample range boundaries independently — provably wrong
+        # offsets past the boundary sample (caught live in
+        # `decile_lift` by the round-8 ~sf1 cross-engine sweep).
+        assert len(df.columns) <= len(keys), (
+            f"with_rank: Column-expression keys require a skinny "
+            f"frame (≤{len(keys)} cols), got {df.columns}; use "
+            f"string keys or pre-project")
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -153,6 +164,13 @@ def with_running_total(
             alias)
         if routed is not None:
             return routed
+    else:
+        # same guard as with_rank: Column-key callers must be skinny
+        # (value + keys), or the branches prune apart (wrong offsets)
+        assert len(df.columns) <= len(keys) + 1, (
+            f"with_running_total: Column-expression keys require a "
+            f"skinny frame, got {df.columns}; use string keys or "
+            f"pre-project")
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -214,6 +232,12 @@ def with_grouped_running_total(
             alias)
         if routed is not None:
             return routed
+    else:
+        # same guard as with_rank: Column-key callers must be skinny
+        assert len(df.columns) <= len(keys) + len(group_cols) + 1, (
+            f"with_grouped_running_total: Column-expression keys "
+            f"require a skinny frame, got {df.columns}; use string "
+            f"keys or pre-project")
     gcols = [F.col(g) for g in group_cols]
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(

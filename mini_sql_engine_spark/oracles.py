@@ -20,6 +20,17 @@ HUGEINT, whose values the driver's hasher renders differently from
 Spark's BIGINT. Every integer OUTPUT column derived from a sum is
 ``CAST(... AS BIGINT)``; sums used only as grouping keys or in
 comparisons don't need it.
+
+DOUBLE-conversion discipline (round 8, found by the first full ~sf1
+cross-engine sweep): once an exact sum carries more than 53
+significant bits (cents² power sums at sf0.1, money sums at ~sf1),
+DuckDB's direct HUGEINT/DECIMAL→DOUBLE cast double-rounds — 1 ulp
+off Spark's correctly-rounded DECIMAL→DOUBLE (observed:
+sum_charge 27864155010.941590 → DuckDB 2786...93, Spark/python
+2786...9). Every ``sum`` that feeds a DOUBLE therefore converts via
+``CAST(CAST(sum(...) AS VARCHAR) AS DOUBLE)`` — DuckDB's string
+parse is correctly rounded, restoring bit-equality at ANY scale.
+Spark sides stay untouched (their conversion is already correct).
 """
 
 from __future__ import annotations
@@ -117,15 +128,13 @@ ORACLES["count_distinct"] = (
 ORACLES["group_agg"] = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
-            AS DOUBLE) AS sum_charge,
-       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -134,7 +143,7 @@ GROUP BY l_returnflag, l_linestatus
 
 ORACLES["group_having"] = """
 SELECT o_custkey, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_spend
 FROM orders GROUP BY o_custkey HAVING count(*) >= 12
 """
 
@@ -169,9 +178,8 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 
 ORACLES["q3_topk"] = """
 SELECT l_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority
 FROM lineitem
@@ -187,9 +195,8 @@ LIMIT 10
 
 ORACLES["q5_local_suppliers"] = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -223,9 +230,9 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 ORACLES["pivot_agg"] = """
 SELECT o_orderpriority,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS spend_f,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS spend_o,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS spend_p
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS VARCHAR) AS DOUBLE) AS spend_f,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS VARCHAR) AS DOUBLE) AS spend_o,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS VARCHAR) AS DOUBLE) AS spend_p
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -239,7 +246,7 @@ FROM lineitem GROUP BY l_returnflag
 
 ORACLES["win_range_frame"] = """
 SELECT event_id, user_id,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+       round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE), 6)
          AS trailing_1h_value,
        count(*) OVER w AS trailing_1h_events
 FROM events
@@ -396,7 +403,7 @@ ORACLES["win_tumbling"] = """
 SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -430,7 +437,7 @@ WITH marked AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, sid
 """
@@ -597,7 +604,7 @@ ORACLES["scalar_subquery"] = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_totalprice > 1.5 * (
-  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR(64)) AS DOUBLE) / count(*)
   FROM orders)
 """
 
@@ -633,9 +640,8 @@ FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
 ORACLES["q7_volume"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS volume
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -650,9 +656,8 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 
 ORACLES["q10_returned"] = """
 SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -665,15 +670,13 @@ LIMIT 20
 
 ORACLES["q14_promo"] = """
 SELECT CAST(100 AS DOUBLE)
-       * CAST(sum(CASE WHEN p_type = 'PROMO'
+       * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
                             * (CAST(1 AS DECIMAL(3,2))
-                               - CAST(l_discount AS DECIMAL(4,2))) END)
-              AS DOUBLE)
-       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                               - CAST(l_discount AS DECIMAL(4,2))) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                   * (CAST(1 AS DECIMAL(3,2))
-                     - CAST(l_discount AS DECIMAL(4,2))))
-              AS DOUBLE) AS promo_revenue_pct
+                     - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
 """
@@ -831,8 +834,8 @@ GROUP BY o_orderpriority
 """
 
 ORACLES["q6_forecast"] = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
@@ -841,15 +844,13 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 
 ORACLES["q8_market_share"] = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+       CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
                           * (CAST(1 AS DECIMAL(3,2))
-                             - CAST(l_discount AS DECIMAL(4,2))) END)
-            AS DOUBLE)
-       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             - CAST(l_discount AS DECIMAL(4,2))) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                   * (CAST(1 AS DECIMAL(3,2))
-                     - CAST(l_discount AS DECIMAL(4,2))))
-              AS DOUBLE) AS mkt_share
+                     - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -865,9 +866,8 @@ GROUP BY year(o_orderdate)
 
 ORACLES["q9_profit"] = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS sum_profit
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -915,9 +915,8 @@ GROUP BY c_count
 ORACLES["q15_top_supplier"] = """
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-              AS DOUBLE) AS total_revenue
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
   GROUP BY l_suppkey
@@ -928,7 +927,7 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 ORACLES["q17_small_qty"] = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / 7.0
          AS avg_yearly
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
@@ -939,9 +938,8 @@ WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
 """
 
 ORACLES["q19_disc_revenue"] = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-            AS DOUBLE) AS revenue
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 20)
@@ -986,11 +984,11 @@ LIMIT 10
 
 ORACLES["q22_idle"] = """
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_nationkey IN (1, 3, 5, 7, 9)
   AND c_acctbal > (
-    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*)
     FROM customer WHERE c_acctbal > 0
   )
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -1041,7 +1039,7 @@ ORACLES["histogram"] = """
 SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
        CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bucket_lo,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_spend
 FROM orders
 GROUP BY floor(o_totalprice / 50000.0)
 """
@@ -1141,7 +1139,7 @@ ORACLES["merge_upsert"] = """
 WITH upd AS (
   SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000
               ELSE o_custkey END AS c_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS c_acctbal
   FROM orders
   WHERE o_orderdate >= '1998-01-01'
   GROUP BY 1
@@ -1353,7 +1351,7 @@ WITH chg AS (
               ELSE o_custkey END AS c_custkey,
          CASE WHEN o_custkey % 5 = 0 THEN 'D'
               WHEN o_custkey % 3 = 0 THEN 'I' ELSE 'U' END AS op,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS c_acctbal
   FROM orders WHERE o_orderdate >= '1998-01-01'
   GROUP BY 1, 2
 ), ups AS (
@@ -1376,7 +1374,7 @@ FULL OUTER JOIN ups u ON b.c_custkey = u.c_custkey
 # decimal-sum are algebraic/mergeable).
 ORACLES["incremental_agg"] = """
 SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_spend
 FROM orders GROUP BY o_custkey
 """
 
@@ -1417,7 +1415,7 @@ FROM d
 ORACLES["win_time_range"] = """
 SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
          AS value_last_hour
 FROM events
 WINDOW w AS (PARTITION BY user_id
@@ -1441,9 +1439,8 @@ FROM orders
 ORACLES["filtered_agg"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(count_if(l_quantity > 30) AS BIGINT) AS n_bulk,
-       CAST(sum(CASE WHEN l_discount < 0.05
-                     THEN CAST(l_quantity AS DECIMAL(18,2)) END)
-            AS DOUBLE) AS qty_low_disc,
+       CAST(CAST(sum(CASE WHEN l_discount < 0.05
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS qty_low_disc,
        CAST(bool_and(l_tax >= 0) AS BIGINT) AS all_taxed,
        CAST(bool_or(l_discount > 0.09) AS BIGINT) AS any_deep_disc
 FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -1530,11 +1527,11 @@ FROM documents WHERE doc_id < 50
 
 ORACLES["weighted_avg"] = """
 SELECT l_returnflag,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-       / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
          AS w_avg_price,
-       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1750,8 +1747,8 @@ GROUP BY doc_a, doc_b
 
 ORACLES["embed_centroid"] = """
 SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-       round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-                           AS DECIMAL(27,10))) AS DOUBLE)
+       round(CAST(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                           AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE)
              / count(*), 4) + 0.0 AS centroid
 FROM (SELECT label, embedding,
              unnest(generate_series(1, len(embedding))) AS i
@@ -1795,7 +1792,7 @@ WITH toks AS (
 )
 SELECT p.doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
-       round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       round(CAST(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
              / count(*), 4) AS dup_frac
 FROM pairs p JOIN dfreq d ON p.shingle = d.shingle
 GROUP BY p.doc_id
@@ -1857,7 +1854,7 @@ GROUP BY o_custkey
 ORACLES["share_of_total"] = """
 WITH rev AS (
   SELECT n_name, r_name AS region_name,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
            AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
@@ -1930,8 +1927,8 @@ SELECT doc_id, lang FROM r WHERE rn <= (SELECT m FROM m)
 ORACLES["zscore_outliers"] = """
 WITH st AS (
   SELECT l_returnflag,
-         CAST(sum(x) AS DOUBLE) AS s1,
-         CAST(sum(x * x) AS DOUBLE) AS s2,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS s2,
          CAST(count(*) AS DOUBLE) AS n
   FROM (SELECT l_returnflag,
                CAST(l_extendedprice AS DECIMAL(12,2)) AS x
@@ -1960,10 +1957,9 @@ SELECT l.l_returnflag,
             AS BIGINT) AS n_lo,
        CAST(count(*) FILTER (CAST(l_extendedprice AS DOUBLE) > hi)
             AS BIGINT) AS n_hi,
-       CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE) >= lo
+       CAST(CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE) >= lo
                       AND CAST(l_extendedprice AS DOUBLE) <= hi
-                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
-            AS DOUBLE)
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
        + CAST(count(*) FILTER (CAST(l_extendedprice AS DOUBLE) < lo)
               AS DOUBLE) * min(lo)
        + CAST(count(*) FILTER (CAST(l_extendedprice AS DOUBLE) > hi)
@@ -1984,10 +1980,10 @@ FROM lineitem GROUP BY l_returnflag
 ORACLES["moments_agg"] = """
 WITH a AS (
   SELECT l_returnflag,
-         CAST(sum(q) AS DOUBLE) AS s1,
-         CAST(sum(q * q) AS DOUBLE) AS s2,
-         CAST(sum(q * q * q) AS DOUBLE) AS s3,
-         CAST(sum(q * q * q * q) AS DOUBLE) AS s4,
+         CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(sum(q * q) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(sum(q * q * q) AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(sum(q * q * q * q) AS VARCHAR) AS DOUBLE) AS s4,
          CAST(count(*) AS DOUBLE) AS n
   FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
   GROUP BY l_returnflag
@@ -2028,7 +2024,7 @@ WITH tok AS (
   SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w
 ), st AS (
   SELECT source, w, c_sw,
-         CAST(sum(c_sw) OVER (PARTITION BY source) AS DOUBLE) AS t_s
+         CAST(CAST(sum(c_sw) OVER (PARTITION BY source) AS VARCHAR) AS DOUBLE) AS t_s
   FROM src
 ), corp AS (
   SELECT w, count(*) AS c_w FROM tok GROUP BY w
@@ -2234,7 +2230,7 @@ FROM tf GROUP BY term
 
 ORACLES["inline_values"] = """
 SELECT user_id,
-       CAST(sum(w) AS DOUBLE) AS engagement,
+       CAST(CAST(sum(w) AS VARCHAR(64)) AS DOUBLE) AS engagement,
        CAST(count(*) AS BIGINT) AS n_weighted
 FROM events
 JOIN (VALUES ('view', CAST(1.0 AS DECIMAL(4,1))),
@@ -2393,7 +2389,7 @@ WITH p AS (
 )
 SELECT src, dst, CAST(n AS BIGINT) AS n,
        CAST(n AS DOUBLE)
-         / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+         / CAST(CAST(sum(n) OVER (PARTITION BY src) AS VARCHAR) AS DOUBLE) AS p
 FROM c
 """
 
@@ -2407,9 +2403,8 @@ WITH g AS (
 )
 SELECT user_id,
        CAST(sum(dt) AS BIGINT) AS active_sec,
-       CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
-                     * CAST(dt AS DECIMAL(18,0)) AS DECIMAL(38,6)))
-            AS DOUBLE)
+       CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                     * CAST(dt AS DECIMAL(18,0)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) AS twap
 FROM g WHERE dt IS NOT NULL
 GROUP BY user_id
@@ -2482,11 +2477,11 @@ SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_closed,
        CAST(count(big) AS BIGINT) AS n_big,
-       CAST(sum(CAST(big AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(big AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
          / count(big) AS avg_big,
        min(big) AS min_big,
-       CAST(sum(coalesce(CAST(big AS DECIMAL(18,2)),
-                         CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+       CAST(CAST(sum(coalesce(CAST(big AS DECIMAL(18,2)),
+                         CAST(0 AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE)
          AS total_big
 FROM (
   SELECT o_orderpriority, o_orderstatus,
@@ -2609,19 +2604,16 @@ ORACLES["pivot_multi"] = """
 SELECT o_orderpriority,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
          AS o_cnt,
-       CAST(sum(CASE WHEN o_orderstatus = 'O'
-                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-            AS DOUBLE) AS o_total,
+       CAST(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS o_total,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
          AS f_cnt,
-       CAST(sum(CASE WHEN o_orderstatus = 'F'
-                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-            AS DOUBLE) AS f_total,
+       CAST(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS f_total,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
          AS p_cnt,
-       CAST(sum(CASE WHEN o_orderstatus = 'P'
-                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-            AS DOUBLE) AS p_total
+       CAST(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS p_total
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -2685,7 +2677,7 @@ WHERE EXISTS (
 
 ORACLES["group_by_all"] = """
 SELECT year(o_orderdate) AS yr, o_orderstatus,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR(64)) AS DOUBLE)
          AS total,
        CAST(count(*) AS BIGINT) AS n
 FROM orders
@@ -3092,7 +3084,7 @@ WITH marked AS (
   UNION ALL
   SELECT lc, 0.5 FROM purchases WHERE fc <> lc
 )
-SELECT click_id, CAST(sum(credit) AS DOUBLE) AS total_credit,
+SELECT click_id, CAST(CAST(sum(credit) AS VARCHAR) AS DOUBLE) AS total_credit,
        CAST(count(*) AS BIGINT) AS n_purchases
 FROM credits GROUP BY click_id
 """
@@ -3299,8 +3291,8 @@ sig AS (
   GROUP BY 1, 2
 ), est AS (
   SELECT c.doc_a, c.doc_b, c.n_shared_bands,
-         CAST(sum(CASE WHEN sa.minhash = sb.minhash
-                       THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est_sim
+         CAST(CAST(sum(CASE WHEN sa.minhash = sb.minhash
+                       THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) / 8.0 AS est_sim
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
@@ -3351,7 +3343,7 @@ WITH om AS (
 SELECT strftime(cohort, '%Y-%m') AS cohort_month,
        CAST(datediff('month', cohort, m) AS BIGINT) AS age_months,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(rev) AS DOUBLE) AS revenue
+       CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS revenue
 FROM om JOIN first USING (o_custkey)
 GROUP BY 1, 2
 """
@@ -3444,8 +3436,8 @@ WITH per AS (
 SELECT CAST(sum(c) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(c * c) AS BIGINT) AS selfjoin_rows,
-       CAST(sum(c * c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
-         / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+       CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         / (CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE))
          AS skew_factor
 FROM per
 """
@@ -3487,15 +3479,15 @@ WITH c AS (
   SELECT
     count_if(l_returnflag = 'A') AS n_a,
     count_if(l_returnflag = 'R') AS n_r,
-    CAST(sum(CASE WHEN l_returnflag = 'A' THEN cents END) AS DOUBLE)
+    CAST(CAST(sum(CASE WHEN l_returnflag = 'A' THEN cents END) AS VARCHAR) AS DOUBLE)
       AS s1a,
-    CAST(sum(CASE WHEN l_returnflag = 'R' THEN cents END) AS DOUBLE)
+    CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN cents END) AS VARCHAR) AS DOUBLE)
       AS s1r,
-    CAST(sum(CASE WHEN l_returnflag = 'A'
-             THEN CAST(cents AS DECIMAL(38,0)) * cents END) AS DOUBLE)
+    CAST(CAST(sum(CASE WHEN l_returnflag = 'A'
+             THEN CAST(cents AS DECIMAL(38,0)) * cents END) AS VARCHAR) AS DOUBLE)
       AS s2a,
-    CAST(sum(CASE WHEN l_returnflag = 'R'
-             THEN CAST(cents AS DECIMAL(38,0)) * cents END) AS DOUBLE)
+    CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
+             THEN CAST(cents AS DECIMAL(38,0)) * cents END) AS VARCHAR) AS DOUBLE)
       AS s2r
   FROM c
 ), agg AS (
@@ -3530,7 +3522,7 @@ WITH per AS (
   FROM per
 ), tot AS (SELECT sum(n) AS t FROM per)
 SELECT label, CAST(sum(n) AS BIGINT) AS n_events,
-       CAST(sum(n) AS DOUBLE) / CAST(max(t) AS DOUBLE) AS share
+       CAST(CAST(sum(n) AS VARCHAR) AS DOUBLE) / CAST(max(t) AS DOUBLE) AS share
 FROM lab, tot GROUP BY label
 """
 
@@ -3538,9 +3530,8 @@ ORACLES["impute_mean"] = """
 WITH means AS (
   SELECT c_nationkey,
          CASE WHEN count(CASE WHEN c_acctbal >= 0 THEN 1 END) > 0
-              THEN CAST(sum(CASE WHEN c_acctbal >= 0
-                       THEN CAST(c_acctbal AS DECIMAL(18,2)) END)
-                        AS DOUBLE)
+              THEN CAST(CAST(sum(CASE WHEN c_acctbal >= 0
+                       THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
                    / count(CASE WHEN c_acctbal >= 0 THEN 1 END)
          END AS m
   FROM customer GROUP BY 1
@@ -3574,7 +3565,7 @@ WITH t AS (
 SELECT CAST(count(*) AS BIGINT) AS n_packs,
        CAST(sum(docs) AS BIGINT) AS n_docs,
        CAST(sum(toks) AS BIGINT) AS n_tokens,
-       CAST(sum(toks) AS DOUBLE) / count(*) AS avg_fill,
+       CAST(CAST(sum(toks) AS VARCHAR) AS DOUBLE) / count(*) AS avg_fill,
        CAST(max(docs) AS BIGINT) AS max_docs_per_pack
 FROM packs
 """
@@ -3733,7 +3724,7 @@ WITH per AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count_if(absdiff > 1.0) AS BIGINT) AS n_mismatch_over_1,
-       CAST(sum(absdiff) AS DOUBLE) / count(*) AS mean_abs_diff
+       CAST(CAST(sum(absdiff) AS VARCHAR) AS DOUBLE) / count(*) AS mean_abs_diff
 FROM d
 """
 
@@ -3761,12 +3752,12 @@ WITH cts AS (
   -- merge-order noise and no double-rounded scaled-decimal casts
   SELECT l_returnflag,
          count(*) AS n,
-         CAST(sum(xq) AS DOUBLE) AS sx,
-         CAST(sum(xq * xq) AS DOUBLE) AS sxx,
-         CAST(sum(yc) AS DOUBLE) / 100.0 AS sy,
-         CAST(sum(CAST(yc AS DECIMAL(38,0)) * yc) AS DOUBLE) / 10000.0
+         CAST(CAST(sum(xq) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(xq * xq) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(yc) AS VARCHAR) AS DOUBLE) / 100.0 AS sy,
+         CAST(CAST(sum(CAST(yc AS DECIMAL(38,0)) * yc) AS VARCHAR) AS DOUBLE) / 10000.0
            AS syy,
-         CAST(sum(yc * xq) AS DOUBLE) / 100.0 AS sxy
+         CAST(CAST(sum(yc * xq) AS VARCHAR) AS DOUBLE) / 100.0 AS sxy
   FROM cts GROUP BY 1
 ), model AS (
   SELECT l_returnflag,
@@ -3917,7 +3908,7 @@ WITH toks AS (
 SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
        CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
-       (SELECT CAST(sum(d) AS DOUBLE) / count(*) FROM deg)
+       (SELECT CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) / count(*) FROM deg)
          AS mean_degree
 """
 
@@ -4031,8 +4022,8 @@ WITH bg AS (
 SELECT CAST((pos - 1) * 10 // n + 1 AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(keep) AS BIGINT) AS n_keep,
-       CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate,
-       CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+       CAST(CAST(sum(keep) AS VARCHAR) AS DOUBLE) / count(*) AS keep_rate,
+       CAST(CAST(sum(CAST(s AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*)
          AS mean_score
 FROM ranked GROUP BY 1
 """
@@ -4087,7 +4078,7 @@ WITH chars AS (
 ), p AS (
   SELECT doc_id, c,
          CAST(c AS DOUBLE)
-           / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS pr
+           / CAST(CAST(sum(c) OVER (PARTITION BY doc_id) AS VARCHAR) AS DOUBLE) AS pr
   FROM per
 )
 SELECT doc_id,
@@ -4166,9 +4157,9 @@ WITH per AS (
 )
 SELECT bridge_class,
        CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(p) AS DOUBLE) AS rev_prev,
-       CAST(sum(c) AS DOUBLE) AS rev_curr,
-       CAST(sum(c) - sum(p) AS DOUBLE) AS delta
+       CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS rev_prev,
+       CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS rev_curr,
+       CAST(CAST(sum(c) - sum(p) AS VARCHAR) AS DOUBLE) AS delta
 FROM cls GROUP BY bridge_class
 """
 
@@ -4219,9 +4210,9 @@ WITH rev AS (
 ), agg AS (
   SELECT c_mktsegment,
          count(*) AS n,
-         CAST(sum(CAST(rk AS DECIMAL(19,0))
-                  * CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS s1,
-         CAST(sum(CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS s
+         CAST(CAST(sum(CAST(rk AS DECIMAL(19,0))
+                  * CAST(cents AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(cents AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS s
   FROM ranked GROUP BY c_mktsegment
 )
 SELECT c_mktsegment,
@@ -4243,7 +4234,7 @@ SELECT o_orderstatus AS status,
               THEN '91-365'
             ELSE '365+' END AS age_bucket,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
          AS open_value
 FROM orders, anchor
 WHERE o_orderstatus <> 'F'
@@ -4338,9 +4329,9 @@ WITH bg AS (
 )
 SELECT CAST(sum(np) AS BIGINT) AS n_pos,
        CAST(sum(nn) AS BIGINT) AS n_neg,
-       CAST(sum(CAST(np AS DECIMAL(19,0))
-                * CAST(2 * (cnn - nn) + nn AS DECIMAL(19,0))) AS DOUBLE)
-         / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE))
+       CAST(CAST(sum(CAST(np AS DECIMAL(19,0))
+                * CAST(2 * (cnn - nn) + nn AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+         / (2.0 * CAST(CAST(sum(np) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(nn) AS VARCHAR) AS DOUBLE))
          AS auc
 FROM cum
 """
@@ -4485,7 +4476,7 @@ SELECT CASE WHEN gap = 0 THEN '0'
             WHEN gap <= 365 THEN '91-365'
             ELSE '365+' END AS gap_bucket,
        CAST(count(*) AS BIGINT) AS n_gaps,
-       CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       CAST(CAST(sum(gap) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          AS avg_gap_days
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY 1
@@ -4556,28 +4547,28 @@ SELECT 'lineitem.l_partkey' AS key_col,
        CAST(max(f) AS BIGINT) AS max_freq,
        quantile_cont(CAST(f AS DOUBLE), 0.99) AS p99_freq,
        CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
-         / CAST(sum(f) AS DOUBLE) AS skew_ratio
+         / CAST(CAST(sum(f) AS VARCHAR) AS DOUBLE) AS skew_ratio
 FROM f1
 UNION ALL
 SELECT 'lineitem.l_suppkey', CAST(sum(f) AS BIGINT),
        CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
        quantile_cont(CAST(f AS DOUBLE), 0.99),
        CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
-         / CAST(sum(f) AS DOUBLE)
+         / CAST(CAST(sum(f) AS VARCHAR) AS DOUBLE)
 FROM f2
 UNION ALL
 SELECT 'orders.o_custkey', CAST(sum(f) AS BIGINT),
        CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
        quantile_cont(CAST(f AS DOUBLE), 0.99),
        CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
-         / CAST(sum(f) AS DOUBLE)
+         / CAST(CAST(sum(f) AS VARCHAR) AS DOUBLE)
 FROM f3
 UNION ALL
 SELECT 'events.user_id', CAST(sum(f) AS BIGINT),
        CAST(count(*) AS BIGINT), CAST(max(f) AS BIGINT),
        quantile_cont(CAST(f AS DOUBLE), 0.99),
        CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
-         / CAST(sum(f) AS DOUBLE)
+         / CAST(CAST(sum(f) AS VARCHAR) AS DOUBLE)
 FROM f4
 """
 
@@ -4589,15 +4580,15 @@ WITH j AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
 ), g AS (
   SELECT count(*) AS gn,
-         CAST(sum(x) AS DOUBLE) AS sx,
-         CAST(sum(x * x) AS DOUBLE) AS sxx,
-         CAST(sum(x * y) AS DOUBLE) AS sxy,
-         CAST(sum(y) AS DOUBLE) AS sy
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy
   FROM j
 ), per AS (
   SELECT treated, count(*) AS pn,
-         CAST(sum(y) AS DOUBLE) AS py,
-         CAST(sum(x) AS DOUBLE) AS px
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS py,
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS px
   FROM j GROUP BY 1
 )
 SELECT treated,
@@ -4686,8 +4677,8 @@ WITH bg AS (
 SELECT decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(keep) AS BIGINT) AS n_keep,
-       CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate,
-       (CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       CAST(CAST(sum(keep) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate,
+       (CAST(CAST(sum(keep) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE))
          / (CAST(max(gk) AS DOUBLE) / CAST(max(gn) AS DOUBLE)) AS lift
 FROM t CROSS JOIN g
 GROUP BY decile
@@ -4717,11 +4708,11 @@ yr AS (
          JOIN yr ON f.g = yr.g AND f.yv = yr.yv
 ), s AS (
   SELECT g, count(*) AS n,
-         CAST(sum(r2x) AS DOUBLE) AS sx,
-         CAST(sum(r2y) AS DOUBLE) AS sy,
-         CAST(sum(r2x * r2x) AS DOUBLE) AS sxx,
-         CAST(sum(r2y * r2y) AS DOUBLE) AS syy,
-         CAST(sum(r2x * r2y) AS DOUBLE) AS sxy
+         CAST(CAST(sum(r2x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(r2y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(r2x * r2x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(r2y * r2y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sum(r2x * r2y) AS VARCHAR) AS DOUBLE) AS sxy
   FROM ranked GROUP BY g
 )
 SELECT g AS l_returnflag,
@@ -4949,10 +4940,10 @@ j AS (
   FROM rankd
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(g) AS DOUBLE) / 1000000.0 AS dcg20,
-       CAST(sum(ig) AS DOUBLE) / 1000000.0 AS idcg20,
+       CAST(CAST(sum(g) AS VARCHAR) AS DOUBLE) / 1000000.0 AS dcg20,
+       CAST(CAST(sum(ig) AS VARCHAR) AS DOUBLE) / 1000000.0 AS idcg20,
        CASE WHEN sum(ig) > 0
-            THEN CAST(sum(g) AS DOUBLE) / CAST(sum(ig) AS DOUBLE)
+            THEN CAST(CAST(sum(g) AS VARCHAR) AS DOUBLE) / CAST(CAST(sum(ig) AS VARCHAR) AS DOUBLE)
             END AS ndcg20
 FROM scored GROUP BY lang
 """
@@ -4971,11 +4962,11 @@ j AS (
 )
 SELECT CAST(least(floor(pu / 100000), 9) AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(pu) AS DOUBLE) / 1000000.0
+       CAST(CAST(sum(pu) AS VARCHAR) AS DOUBLE) / 1000000.0
          / CAST(count(*) AS DOUBLE) AS avg_conf,
-       CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate,
-       abs(CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-           - CAST(sum(pu) AS DOUBLE) / 1000000.0
+       CAST(CAST(sum(keep) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate,
+       abs(CAST(CAST(sum(keep) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           - CAST(CAST(sum(pu) AS VARCHAR) AS DOUBLE) / 1000000.0
              / CAST(count(*) AS DOUBLE)) AS gap
 FROM pu GROUP BY 1
 """
@@ -4988,14 +4979,14 @@ WITH e AS (
   FROM lineitem
 ), s AS (
   SELECT count(*) AS n,
-         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(z) AS DOUBLE) AS sz,
-         CAST(sum(x * x) AS DOUBLE) AS sxx,
-         CAST(sum(y * y) AS DOUBLE) AS syy,
-         CAST(sum(z * z) AS DOUBLE) AS szz,
-         CAST(sum(x * y) AS DOUBLE) AS sxy,
-         CAST(sum(x * z) AS DOUBLE) AS sxz,
-         CAST(sum(y * z) AS DOUBLE) AS syz
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx, CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(z) AS VARCHAR) AS DOUBLE) AS sz,
+         CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sum(z * z) AS VARCHAR) AS DOUBLE) AS szz,
+         CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(x * z) AS VARCHAR) AS DOUBLE) AS sxz,
+         CAST(CAST(sum(y * z) AS VARCHAR) AS DOUBLE) AS syz
   FROM e
 ), r AS (
   SELECT n,
@@ -5075,8 +5066,8 @@ SELECT CAST(t AS BIGINT) AS gap_days,
        CAST(n AS BIGINT) AS n_risk,
        CAST(d AS BIGINT) AS n_events,
        CASE WHEN minleft = 0 THEN 0.0
-            ELSE round(exp(CAST(sum(lu) OVER (
-                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            ELSE round(exp(CAST(CAST(sum(lu) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
                  / 1000000.0), 6) + 0.0 END AS survival
 FROM ev
 """
@@ -5155,10 +5146,10 @@ WITH daily AS (
 SELECT CAST(max(n) AS BIGINT) AS n_days,
        CAST(max(CASE WHEN i = n THEN r END) AS DOUBLE) / 100
          AS last_revenue,
-       CAST(sum(CAST(round(
+       CAST(CAST(sum(CAST(round(
              (CASE WHEN i = 1 THEN power(0.7, n - 1)
                    ELSE 0.3 * power(0.7, n - i) END) * r)
-           AS BIGINT)) AS DOUBLE) / 100 AS ses_level
+           AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100 AS ses_level
 FROM seq CROSS JOIN nn
 """
 
@@ -5218,8 +5209,7 @@ WITH base AS (
                        0.975) AS ci_hi
   FROM per_b
 ), point AS (
-  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-              AS DOUBLE)
+  SELECT CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) / 100 AS mean_price
   FROM orders
 )
@@ -5232,8 +5222,8 @@ WITH e AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
 ), s AS (
   SELECT count(*) AS n,
-         CAST(sum(c) AS DOUBLE) AS s,
-         CAST(sum(c * c) AS DOUBLE) AS s2
+         CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE) AS s2
   FROM e
 )
 SELECT CAST(n AS BIGINT) AS n_orders,
@@ -5331,8 +5321,8 @@ WITH e AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
 ), per AS (
   SELECT c_mktsegment, count(*) AS n,
-         CAST(sum(c) AS DOUBLE) AS s,
-         CAST(sum(c * c) AS DOUBLE) AS s2
+         CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(c * c) AS VARCHAR) AS DOUBLE) AS s2
   FROM e GROUP BY 1
 ), w AS (
   SELECT c_mktsegment, n,
@@ -5383,7 +5373,7 @@ WITH agg AS (
 SELECT region, nation,
        CAST(c AS DOUBLE) / 100 AS revenue,
        CAST(c AS DOUBLE)
-         / CAST(sum(c) OVER (PARTITION BY region) AS DOUBLE)
+         / CAST(CAST(sum(c) OVER (PARTITION BY region) AS VARCHAR) AS DOUBLE)
          AS share_of_region
 FROM agg
 """
@@ -5396,7 +5386,7 @@ WITH l AS (
 )
 SELECT priority,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_days,
+       CAST(CAST(sum(lat) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_days,
        quantile_cont(CAST(lat AS DOUBLE), 0.5) AS p50_days,
        quantile_cont(CAST(lat AS DOUBLE), 0.9) AS p90_days,
        CAST(max(lat) AS BIGINT) AS max_days
@@ -5447,7 +5437,7 @@ WITH marked AS (
 SELECT CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(v) AS BIGINT) AS n_view_sessions,
        CAST(sum(v * p) AS BIGINT) AS n_converted,
-       CAST(sum(v * p) AS DOUBLE) / CAST(sum(v) AS DOUBLE)
+       CAST(CAST(sum(v * p) AS VARCHAR) AS DOUBLE) / CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
          AS conversion_rate
 FROM per
 """
@@ -5460,7 +5450,7 @@ WITH per AS (
 SELECT CAST(dow AS BIGINT) AS dow,
        CAST(hour AS BIGINT) AS hour,
        CAST(n AS BIGINT) AS n_events,
-       CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+       CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER () AS VARCHAR) AS DOUBLE) AS share
 FROM per
 """
 
@@ -5541,7 +5531,7 @@ ORACLES["lang_confusion"] = f"""
 SELECT lang, lang_pred,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) AS DOUBLE)
-         / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE)
+         / CAST(CAST(sum(count(*)) OVER (PARTITION BY lang) AS VARCHAR) AS DOUBLE)
          AS row_share
 FROM ({ORACLES['lang_id']}) L
 GROUP BY lang, lang_pred
@@ -5573,8 +5563,8 @@ SELECT CAST(decile AS BIGINT) AS decile,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(sum(td) OVER w AS BIGINT) AS tokens_cum,
        CAST(sum(vd) OVER w AS BIGINT) AS vocab_cum,
-       round(ln(CAST(sum(vd) OVER w AS DOUBLE))
-             / ln(CAST(sum(td) OVER w AS DOUBLE)), 6) + 0.0
+       round(ln(CAST(CAST(sum(vd) OVER w AS VARCHAR) AS DOUBLE))
+             / ln(CAST(CAST(sum(td) OVER w AS VARCHAR) AS DOUBLE)), 6) + 0.0
          AS heaps_ratio
 FROM per_dec
 WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
@@ -5594,8 +5584,8 @@ WITH span AS (
   GROUP BY 1, 2
 ), per AS (
   SELECT l_partkey, CAST(max(w) AS DOUBLE) AS W,
-         CAST(sum(q) AS DOUBLE) AS s,
-         CAST(sum(q * q) AS DOUBLE) AS s2
+         CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(q * q) AS VARCHAR) AS DOUBLE) AS s2
   FROM weekly GROUP BY 1
 ), cv AS (
   SELECT CASE WHEN sqrt((s2 - s * s / W) / (W - 1)) / (s / W) < 0.5
@@ -5609,7 +5599,7 @@ WITH span AS (
 )
 SELECT xyz_class,
        CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(cvu) AS DOUBLE) / 1000000.0
+       CAST(CAST(sum(cvu) AS VARCHAR) AS DOUBLE) / 1000000.0
          / CAST(count(*) AS DOUBLE) AS avg_cv
 FROM cv GROUP BY 1
 """
@@ -5682,21 +5672,19 @@ SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
        CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
        CAST(count_if(l_returnflag = 'R') AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS return_rate,
-       CAST(sum(CASE WHEN l_returnflag = 'R'
+       CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
-                END) AS DOUBLE)
-         / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                AS DOUBLE) AS returned_revenue_share
+                END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) AS returned_revenue_share
 FROM lineitem GROUP BY 1
 """
 
 ORACLES["discount_bands"] = """
 SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+       CAST(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS VARCHAR) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS avg_qty,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-            AS DOUBLE)
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) / 100 AS avg_line_revenue
 FROM lineitem GROUP BY 1
 """
@@ -5708,7 +5696,7 @@ WITH e AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
 ), per AS (
   SELECT c_mktsegment, count(DISTINCT c_custkey) AS nc,
-         count(*) AS no, CAST(sum(c) AS DOUBLE) AS s
+         count(*) AS no, CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS s
   FROM e GROUP BY 1
 )
 SELECT c_mktsegment,
@@ -5761,7 +5749,7 @@ WITH ps AS (
 )
 SELECT CAST(k AS BIGINT) AS n_suppliers,
        CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(hu) AS DOUBLE) / 1000000.0
+       CAST(CAST(sum(hu) AS VARCHAR) AS DOUBLE) / 1000000.0
          / CAST(count(*) AS DOUBLE) AS avg_hhi
 FROM h GROUP BY 1
 """
@@ -5788,8 +5776,8 @@ WITH e AS (
   FROM lineitem
 ), per AS (
   SELECT l_partkey, count(*) AS n,
-         CAST(sum(u) AS DOUBLE) AS s,
-         CAST(sum(u * u) AS DOUBLE) AS s2
+         CAST(CAST(sum(u) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(u * u) AS VARCHAR) AS DOUBLE) AS s2
   FROM e GROUP BY 1
   HAVING count(*) >= 2
 ), cv AS (
@@ -5803,7 +5791,7 @@ SELECT CASE WHEN cv < 0.01 THEN 'stable'
             WHEN cv < 0.25 THEN 'loose'
             ELSE 'erratic' END AS dispersion_band,
        CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(CAST(round(cv * 1000000.0) AS BIGINT)) AS DOUBLE)
+       CAST(CAST(sum(CAST(round(cv * 1000000.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
          / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_cv
 FROM cv GROUP BY 1
 """
@@ -5846,7 +5834,7 @@ WITH agg AS (
 SELECT year, region,
        CAST(c AS DOUBLE) / 100 AS revenue,
        CAST(c AS DOUBLE)
-         / CAST(sum(c) OVER (PARTITION BY year) AS DOUBLE)
+         / CAST(CAST(sum(c) OVER (PARTITION BY year) AS VARCHAR) AS DOUBLE)
          AS share_of_year
 FROM agg
 """

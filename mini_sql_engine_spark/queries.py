@@ -6584,12 +6584,17 @@ def decile_lift(spark, sf_dir):
     report each decile's quality-gate keep rate against the global
     rate — the model-eval readout that says WHERE a score separates
     (`score_auc` says only whether). Counts exact; rates and lift
-    are exact int divisions in one IEEE tree."""
+    are exact int divisions in one IEEE tree. Round 8: the rank call
+    passes STRING keys so `with_rank`'s skinny routing fires — the
+    previous Column-expression form ranked the wide (score, keep)
+    frame directly, whose two exchange branches prune differently
+    and sample range boundaries independently (the module-docstring
+    failure mode: provably wrong offsets once the corpus outgrows
+    the boundary sample — caught by the ~sf1 cross-engine sweep)."""
     sc = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
     kp = quality_gate(spark, sf_dir).select("doc_id", "keep")
     j = sc.join(kp, "doc_id")
-    ranked = SO.with_rank(
-        j, F.col("avg_logprob"), F.col("doc_id"), alias="rn")
+    ranked = SO.with_rank(j, "avg_logprob", "doc_id", alias="rn")
     n_df = j.agg(F.count(F.lit(1)).alias("_n"),
                  F.sum("keep").alias("_gk"))
     decile = F.expr(

@@ -840,9 +840,12 @@ PREFIX_SUM_CALLER_KEYS = {
     "pack_stats": 1,
     # round-7 additions: spearman ranks two variables (one reused
     # range exchange each); decile_lift ranks the skinny score
-    # projection and joins it back
+    # projection and joins keep back (round 8: string keys so the
+    # skinny routing actually fires — the Column-key form ranked the
+    # wide frame, whose branches pruned differently and sampled
+    # boundaries independently: wrong offsets at ~sf1)
     "spearman_corr": 2,
-    "decile_lift": 2,
+    "decile_lift": 1,
     # cycle-3: rrf_fusion ranks two skinny (doc_id, score) frames —
     # one reused range exchange each
     "rrf_fusion": 2,
