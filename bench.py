@@ -30,6 +30,22 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def timed_min(run, base_reps: int = 2, fast_reps: int = 5,
+              fast_cutoff: float = 1.0) -> float:
+    """Min-of-N wall clock with adaptive N: ``base_reps`` samples for
+    everyone, topped up to ``fast_reps`` when the best so far is
+    under ``fast_cutoff`` seconds — sub-second keys are the ones
+    whose min-of-2 is still dominated by scheduler/GC noise."""
+    best = float("inf")
+    reps = 0
+    while reps < base_reps or (best < fast_cutoff and reps < fast_reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+        reps += 1
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -46,15 +62,16 @@ def main() -> None:
 
     # min of two runs per query: one-off JVM GC pauses / Python-worker
     # pool spin-up otherwise attribute multi-second noise to whichever
-    # query they land on (observed: 11 s on a 0.7 s query).
+    # query they land on (observed: 11 s on a 0.7 s query).  Keys
+    # under 1 s get 5 samples total (VERDICT r8 #4): sub-second keys
+    # dominate the 339-key suite and their ±0.1–0.2 s scheduler noise
+    # produced a specious +16% suite-median drift r7→r8 — min-of-5
+    # pins them tight enough that a real 1.3× plan regression is
+    # detectable above the noise floor.
     timings: dict[str, float] = {}
     for qkey in sorted(QUERIES):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(QUERIES[qkey](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[qkey] = round(best, 3)
+        timings[qkey] = timed_min(
+            lambda: force(QUERIES[qkey](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -179,22 +196,19 @@ def maybe_bench_sf1(spark, base_sf_dir: str, base_sf: float):
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        marker = os.path.join(out, f".built_v3_{copies}")
+        marker = os.path.join(out, f".built_v4_{copies}")
         if not os.path.exists(marker):
             mod.build(spark, base_sf_dir, out, copies)
             with open(marker, "w") as fh:
                 fh.write("ok")
-        # min-of-3: round 3's driver artifact showed a concurrent
-        # Spark session inflating short TakeOrdered queries up to
-        # 7.3x; two samples were evidently not contention-proof.
+        # min-of-3 (round 3: a concurrent Spark session inflated
+        # short TakeOrdered queries up to 7.3x), topped up to 5 for
+        # sub-second keys — same noise-floor reasoning as the base
+        # suite (VERDICT r8 #4).
         timings: dict[str, float] = {}
         for qkey in SF1_KEYS:
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                force(QUERIES[qkey](spark, out))
-                best = min(best, time.perf_counter() - t0)
-            timings[qkey] = round(best, 3)
+            timings[qkey] = timed_min(
+                lambda: force(QUERIES[qkey](spark, out)), base_reps=3)
         return {
             "sf": round(base_sf * copies, 3),
             "copies": copies,

@@ -113,10 +113,11 @@ def with_rank(
         # sample range boundaries independently — provably wrong
         # offsets past the boundary sample (caught live in
         # `decile_lift` by the round-8 ~sf1 cross-engine sweep).
-        assert len(df.columns) <= len(keys), (
-            f"with_rank: Column-expression keys require a skinny "
-            f"frame (≤{len(keys)} cols), got {df.columns}; use "
-            f"string keys or pre-project")
+        if len(df.columns) > len(keys):
+            raise ValueError(
+                f"with_rank: Column-expression keys require a skinny "
+                f"frame (≤{len(keys)} cols), got {df.columns}; use "
+                f"string keys or pre-project")
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -167,10 +168,11 @@ def with_running_total(
     else:
         # same guard as with_rank: Column-key callers must be skinny
         # (value + keys), or the branches prune apart (wrong offsets)
-        assert len(df.columns) <= len(keys) + 1, (
-            f"with_running_total: Column-expression keys require a "
-            f"skinny frame, got {df.columns}; use string keys or "
-            f"pre-project")
+        if len(df.columns) > len(keys) + 1:
+            raise ValueError(
+                f"with_running_total: Column-expression keys require "
+                f"a skinny frame, got {df.columns}; use string keys "
+                f"or pre-project")
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -234,10 +236,11 @@ def with_grouped_running_total(
             return routed
     else:
         # same guard as with_rank: Column-key callers must be skinny
-        assert len(df.columns) <= len(keys) + len(group_cols) + 1, (
-            f"with_grouped_running_total: Column-expression keys "
-            f"require a skinny frame, got {df.columns}; use string "
-            f"keys or pre-project")
+        if len(df.columns) > len(keys) + len(group_cols) + 1:
+            raise ValueError(
+                f"with_grouped_running_total: Column-expression keys "
+                f"require a skinny frame, got {df.columns}; use "
+                f"string keys or pre-project")
     gcols = [F.col(g) for g in group_cols]
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     parts = num_partitions or int(

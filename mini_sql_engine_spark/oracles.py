@@ -2120,12 +2120,19 @@ GROUP BY doc_id
 
 # ─────────────── §2.18 round-8 additions ───────────────
 
-ORACLES["knn_label"] = """
+# The kNN witness cap lives in ONE place (queries.py) and is
+# interpolated here so the two engines cannot desynchronize
+# (ADVICE r8: a hardcoded LIMIT 128 would silently diverge if
+# KNN_QUERY_CAP ever changed).  Safe import: queries.py only pulls
+# ORACLES inside a function body, so there is no import cycle.
+from mini_sql_engine_spark.queries import KNN_QUERY_CAP  # noqa: E402
+
+ORACLES["knn_label"] = f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv FROM embeddings
   WHERE vec_id % 10 = 0
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT 128
+  LIMIT {KNN_QUERY_CAP}
 ), c AS (
   SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings
   WHERE vec_id % 10 <> 0
@@ -4241,12 +4248,12 @@ WHERE o_orderstatus <> 'F'
 GROUP BY 1, 2
 """
 
-ORACLES["label_noise"] = """
+ORACLES["label_noise"] = f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv FROM embeddings
   WHERE vec_id % 10 = 0
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT 128
+  LIMIT {KNN_QUERY_CAP}
 ), c AS (
   SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings
   WHERE vec_id % 10 <> 0

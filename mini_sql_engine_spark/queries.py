@@ -53,6 +53,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # oracles (same ORDER BY md5 LIMIT).
 KNN_QUERY_CAP = 128
 
+# `dedup_eval` universe cap (VERDICT r8 #1): the P/R harness runs
+# BOTH its LSH-candidate stage and its exact-Jaccard truth stage on
+# the ≤5k documents with the smallest portable md5(doc_id) — same
+# deterministic-sample pattern as KNN_QUERY_CAP.  At the correctness
+# SFs (≤5k docs) the sample IS the corpus, so behavior is unchanged;
+# above it the harness stays O(cap²·bounded) regardless of corpus
+# size — recall/precision estimated on a fixed 5k-doc universe is
+# statistically equivalent to the full-corpus number, and the eval
+# harness must never be the most expensive key in the registry.
+DEDUP_EVAL_DOC_CAP = 5000
+
 
 # ───────────────────────── §2.1 scans ─────────────────────────
 
@@ -3984,18 +3995,32 @@ def dedup_eval(spark, sf_dir):
     LSH candidate pairs scored against the exact-Jaccard ground truth
     (t=0.6) — tp/fp/fn plus precision/recall in ONE summary row.  The
     'measure, don't guess' loop every approximate dedup deployment
-    needs, runnable on a sample of the real corpus before committing
-    (bands, rows) at full scale.  Rows-only (the LSH stage is
-    xxhash-seeded, deterministic but not SQL-portable); pytest pins
-    recall ≥ 0.6 and the tp+fn ≡ |truth| identity."""
+    needs, RUN ON a fixed deterministic sample of the real corpus
+    (the ≤DEDUP_EVAL_DOC_CAP=5000 docs with smallest md5(doc_id) —
+    the KNN_QUERY_CAP pattern), because an eval harness must stay
+    cheap while the corpus grows: both the LSH-candidate stage and
+    the exact-Jaccard truth stage see the SAME bounded universe, so
+    tp+fn ≡ |truth| still holds and the P/R estimate is statistically
+    equivalent to the full-corpus number.  Rows-only (the LSH stage
+    is xxhash-seeded, deterministic but not SQL-portable); pytest
+    pins recall ≥ 0.6 and the tp+fn ≡ |truth| identity."""
     from mini_sql_engine_spark.plans import materialized
 
     docs = Catalog(spark, sf_dir).table("documents")
+    # deterministic fixed-size universe: TakeOrderedAndProject on the
+    # portable md5 hex — never a global sort; at ≤5k docs (the
+    # correctness SFs) this is the whole corpus, so results there are
+    # identical to the uncapped form.  Materialized once: both the
+    # truth and candidate pipelines (and their counts) consume it.
+    sample = materialized(
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            .limit(DEDUP_EVAL_DOC_CAP))
     # three actions consume each side — materialize each pipeline once
     truth = materialized(DD.ngram_jaccard_pairs_capped(
-        docs, n=3, threshold=0.6, max_df=1000).select("doc_a", "doc_b"))
+        sample, n=3, threshold=0.6, max_df=1000
+    ).select("doc_a", "doc_b"))
     cand = materialized(
-        DD.minhash_lsh_candidates(docs).select("doc_a", "doc_b"))
+        DD.minhash_lsh_candidates(sample).select("doc_a", "doc_b"))
     tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
     n_cand = cand.count()
     n_truth = truth.count()

@@ -69,10 +69,13 @@ def _perturb_copy(table: str, df: DataFrame, i: int) -> DataFrame:
     pathological duplicate-density shift, not data growth.  A real
     10× corpus is 10× more DISTINCT content, so:
 
-    - documents: every token gets a per-copy prefix (``c3token``) —
-      a bijective token rename, so all within-copy shingle/Jaccard/
-      MinHash structure is preserved exactly while cross-copy token
-      overlap drops to zero;
+    - documents: every token gets a per-copy prefix (``z3_token``
+      via split/transform/rejoin — strictly bijective: base tokens
+      contain no ``_`` and the text has no whitespace runs, so no
+      inserted bare tokens and no cross-copy collisions; ADVICE r8
+      flagged the old ``(^|\\s)`` regexp for both defects), so all
+      within-copy shingle/Jaccard/MinHash structure is preserved
+      exactly while cross-copy token overlap drops to zero;
     - embeddings: a deterministic per-(copy, dim) additive offset
       rotates each copy's vectors into its own region of the space —
       within-copy geometry is approximately preserved, cross-copy
@@ -82,9 +85,15 @@ def _perturb_copy(table: str, df: DataFrame, i: int) -> DataFrame:
     if i == 0:
         return df
     if table == "documents":
+        prefix = "z%d_" % i
+        toks = F.filter(F.split(F.col("text"), r"\s+"),
+                        lambda t: t != F.lit(""))
         return df.withColumn(
             "text",
-            F.regexp_replace("text", r"(^|\s)", r"$1c%d" % i))
+            F.array_join(
+                F.transform(toks,
+                            lambda t: F.concat(F.lit(prefix), t)),
+                " "))
     if table == "embeddings":
         return df.withColumn(
             "embedding",
@@ -147,7 +156,7 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark(app_name="stress-scale")
-    marker = os.path.join(args.out, f".built_v3_{args.copies}")
+    marker = os.path.join(args.out, f".built_v4_{args.copies}")
     if not os.path.exists(marker):
         t0 = time.time()
         build(spark, args.src, args.out, args.copies)

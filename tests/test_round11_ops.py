@@ -93,3 +93,30 @@ def test_dedup_eval_identities_and_recall(spark):
     assert 0.0 <= row["precision"] <= 1.0
     # banded 32/8 LSH on J>=0.6 truth: same bound as test_dedup
     assert row["recall"] >= 0.8
+
+
+def test_dedup_eval_cap_bounds_the_universe(spark, monkeypatch):
+    """VERDICT r8 #1: above DEDUP_EVAL_DOC_CAP the harness grades
+    only the cap-many docs with the smallest md5(doc_id) — both the
+    truth stage and the candidate stage see the SAME sampled
+    universe, so the tp+fn ≡ |truth| identity holds on it and the
+    harness's cost is independent of corpus size."""
+    import hashlib
+
+    from mini_sql_engine_spark.pipeline import dedup as DD
+    from mini_sql_engine_spark.plans import materialized
+
+    monkeypatch.setattr(Q, "DEDUP_EVAL_DOC_CAP", 100)
+    row = Q.dedup_eval(spark, SF_SMOKE).collect()[0]
+    # reference: exact-Jaccard truth on the expected 100-doc sample
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    keep = set(sorted(
+        ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+    )[:100])
+    sample = docs.filter(F.col("doc_id").isin(keep))
+    n_truth = materialized(DD.ngram_jaccard_pairs_capped(
+        sample, n=3, threshold=0.6, max_df=1000
+    ).select("doc_a", "doc_b")).count()
+    assert row["tp"] + row["fn"] == n_truth
+    assert 0.0 <= (row["precision"] or 0.0) <= 1.0
