@@ -61,24 +61,34 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
-def main():
-    keys = sys.argv[1:]
-    spark = get_spark(cpus=CPUS,
-                      shuffle_partitions=int(SHUF) if SHUF else None)
+def run(keys=None, sf_dir=None, spark=None):
+    """Drive the queries()-vs-oracle_sql() contract at ``sf_dir``.
+
+    Returns (match, mismatch, err, rows_only) so callers
+    (scripts/sweep_scale.py — the standing ~sf1 gate) can assert on
+    the counts; prints one MATCH/MISMATCH/ERR line per key."""
+    sf_dir = sf_dir or SF_DIR
+    if spark is None:
+        spark = get_spark(cpus=CPUS,
+                          shuffle_partitions=int(SHUF) if SHUF else None)
     df = E.entry(spark)
     assert len(df.take(1)) > 0, "entry() returned no rows"
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; Spark-written blow-up
+        # dirs (sweep_scale) need the part-file glob
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     qs = E.queries()
     oracles = E.oracle_sql()
     todo = keys or list(qs)
     n_match = n_mismatch = n_err = n_rowsonly = 0
     for k in todo:
         try:
-            sdf = qs[k](spark, SF_DIR)
+            sdf = qs[k](spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
             if k not in oracles:
@@ -114,6 +124,11 @@ def main():
             n_err += 1
     print(f"\nTOTAL match={n_match} mismatch={n_mismatch} "
           f"err={n_err} rows_only={n_rowsonly}")
+    return n_match, n_mismatch, n_err, n_rowsonly
+
+
+def main():
+    run(keys=sys.argv[1:])
 
 
 if __name__ == "__main__":

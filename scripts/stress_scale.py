@@ -59,6 +59,20 @@ OFFSET = 100_000_000
 HEADLINE = ["group_agg", "q3_topk", "q5_local_suppliers", "equi_join",
             "latest_per_key", "top_k", "stats_agg", "exists_subquery"]
 
+# 100x series (VERDICT r8 #2): the headline shapes measured at BOTH
+# the 10x and the 100x blow-up — the 100x/10x factor is the direct
+# evidence that each plan's cost is ~linear in data volume (factor
+# ≈ 10) rather than super-linear, which is the property that decides
+# whether it survives a 1000-executor 100 TB deployment.  The list is
+# the verdict's ask plus the two worst ~sf1 fact-join scalers
+# (join3, q13_cust_orders — VERDICT r8 #5) and the worst 10x-factor
+# window shape (rolling_median — VERDICT r8 #6).
+HEADLINE_100X = [
+    "group_agg", "equi_join", "join3", "q3_topk", "q5_local_suppliers",
+    "q13_cust_orders", "q21_waiting", "latest_per_key", "lsh_candidates",
+    "dedup_cc", "quantile_normalize", "rolling_median", "seq_pack",
+]
+
 
 def _perturb_copy(table: str, df: DataFrame, i: int) -> DataFrame:
     """Make copy i>0 DISTINCT in content, not just in keys (round 8).
@@ -148,22 +162,47 @@ def time_queries(spark, sf_dir: str, keys: list[str]) -> dict[str, float]:
     return out
 
 
+def ensure_built(spark, src: str, out: str, copies: int) -> None:
+    marker = os.path.join(out, f".built_v4_{copies}")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        build(spark, src, out, copies)
+        open(marker, "w").write("ok")
+        print(f"built {copies}x data at {out} in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sfscaled")
+    ap.add_argument("--series100", action="store_true",
+                    help="time HEADLINE_100X at 10x AND 100x and report "
+                         "the 100x/10x factor (VERDICT r8 #2)")
+    ap.add_argument("--out100", default="/tmp/sfscaled100")
+    ap.add_argument("--keys", default=None,
+                    help="comma-separated Qkey override for --series100")
     args = ap.parse_args()
 
     spark = get_spark(app_name="stress-scale")
-    marker = os.path.join(args.out, f".built_v4_{args.copies}")
-    if not os.path.exists(marker):
-        t0 = time.time()
-        build(spark, args.src, args.out, args.copies)
-        open(marker, "w").write("ok")
-        print(f"built {args.copies}x data in {time.time()-t0:.1f}s",
-              file=sys.stderr)
 
+    if args.series100:
+        keys = args.keys.split(",") if args.keys else HEADLINE_100X
+        ensure_built(spark, args.src, args.out, 10)
+        ensure_built(spark, args.src, args.out100, 100)
+        t10 = time_queries(spark, args.out, keys)
+        t100 = time_queries(spark, args.out100, keys)
+        factors = {k: round(t100[k] / max(t10[k], 1e-3), 2) for k in keys}
+        print(json.dumps({
+            "mode": "series100",
+            "t10_sec": t10,
+            "t100_sec": t100,
+            "factor_100x_over_10x": factors,
+        }))
+        return 0
+
+    ensure_built(spark, args.src, args.out, args.copies)
     base = time_queries(spark, args.src, HEADLINE)
     big = time_queries(spark, args.out, HEADLINE)
     factors = {k: round(big[k] / max(base[k], 1e-3), 2) for k in HEADLINE}
