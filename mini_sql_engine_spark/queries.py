@@ -6743,6 +6743,31 @@ def iqr_scale_approx(spark, sf_dir):
     )
 
 
+def _stream_events_dir(sf_dir):
+    """Resolve the directory the events file-stream reads from.
+
+    FileStreamSource requires a DIRECTORY.  The driver testdata ships
+    events as a single parquet FILE — stage it once into a per-sf
+    /tmp dir.  Spark-written blow-ups (scripts/stress_scale.py) ship
+    it as a parquet DIRECTORY of part files already — that IS a
+    landing zone, stream straight from it (``_SUCCESS``/dot files are
+    hidden to the file source).  At scale the landing zone is always
+    a directory and this is moot."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        return src
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/spark_graft_stream_events_{tag}"
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    return stage
+
+
 def stream_tumbling(spark, sf_dir):
     """`win_tumbling`'s TRUE Structured-Streaming twin, hash-checked
     against the same batch oracle: a file-source readStream over the
@@ -6756,23 +6781,10 @@ def stream_tumbling(spark, sf_dir):
     hash rather than a pytest-only claim. At scale the memory sink
     swaps for parquet/foreachBatch (streaming/jobs.py sinks);
     watermark state stays bounded per (window, event_type)."""
-    import hashlib
-    import os
-    import shutil
-
     from mini_sql_engine_spark.streaming import jobs as SJ
 
     Catalog(spark, sf_dir)  # registers the ns-timestamp parquet confs
-    # FileStreamSource requires a DIRECTORY; the test data ships the
-    # table as a single file — stage it once into a per-sf dir (at
-    # scale the landing zone is a directory already and this is moot)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = f"/tmp/spark_graft_stream_events_{tag}"
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet",
-                    os.path.join(stage, "events.parquet"))
-    ev = SJ.stream_events(spark, stage)
+    ev = SJ.stream_events(spark, _stream_events_dir(sf_dir))
     out = SJ.streaming_tumbling_counts(ev)
     return SJ.run_to_memory(spark, out, "stream_tumbling_sink").select(
         "ws", "event_type", "n_events", "sum_value")
@@ -7217,20 +7229,10 @@ def stream_sliding(spark, sf_dir):
     ``availableNow`` drain into a memory sink. In-order replay loses
     nothing to the watermark, so the stream must reproduce the batch
     `win_sliding` oracle bit-for-bit."""
-    import hashlib
-    import os
-    import shutil
-
     from mini_sql_engine_spark.streaming import jobs as SJ
 
     Catalog(spark, sf_dir)  # registers the ns-timestamp parquet confs
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = f"/tmp/spark_graft_stream_events_{tag}"
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet",
-                    os.path.join(stage, "events.parquet"))
-    ev = SJ.stream_events(spark, stage)
+    ev = SJ.stream_events(spark, _stream_events_dir(sf_dir))
     out = SJ.streaming_sliding_counts(ev)
     return SJ.run_to_memory(spark, out, "stream_sliding_sink").select(
         "ws", "event_type", "n_events")
@@ -7246,20 +7248,10 @@ def stream_session(spark, sf_dir):
     ``availableNow`` drain into a memory sink. In-order replay loses
     nothing, so the stream must reproduce the batch `win_session`
     oracle bit-for-bit."""
-    import hashlib
-    import os
-    import shutil
-
     from mini_sql_engine_spark.streaming import jobs as SJ
 
     Catalog(spark, sf_dir)  # registers the ns-timestamp parquet confs
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = f"/tmp/spark_graft_stream_events_{tag}"
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet",
-                    os.path.join(stage, "events.parquet"))
-    ev = SJ.stream_events(spark, stage)
+    ev = SJ.stream_events(spark, _stream_events_dir(sf_dir))
     out = SJ.streaming_session_counts(ev)
     return SJ.run_to_memory(spark, out, "stream_session_sink").select(
         "user_id", "session_start", "n_events", "sum_value")
