@@ -6760,7 +6760,13 @@ def _stream_events_dir(sf_dir):
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         return src
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes source mtime+size so a regenerated events.parquet
+    # gets a fresh staging dir instead of silently streaming the
+    # stale copy (ADVICE r9)
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:8]
     stage = f"/tmp/spark_graft_stream_events_{tag}"
     if not os.path.exists(os.path.join(stage, "events.parquet")):
         os.makedirs(stage, exist_ok=True)
@@ -7806,6 +7812,55 @@ def quantile_normalize(spark, sf_dir):
                 idx.alias("_idx"))
         .join(gv, F.col("_idx") == F.col("_ri"))
         .select("l_orderkey", "l_linenumber", "g", "v", "qnorm_v")
+    )
+
+
+def quantile_normalize_approx(spark, sf_dir, grid=2001, accuracy=10000):
+    """At-scale swap for `quantile_normalize` (VERDICT r9 #4) — NOT a
+    registry key; the hash-checked contract stays on the exact form.
+
+    The exact key pays TWO full-fact distributed ranks plus a
+    fact-sized rank-index hash join (its 100x cost: 39 s, the slowest
+    non-CC key). This variant keeps the within-group rank exact (one
+    range exchange — it determines each row's quantile p) and replaces
+    the entire target-distribution side — the second full sort AND the
+    60M-row join — with a broadcast ``percentile_approx`` grid: one
+    GK-sketch aggregation produces `grid` global quantiles, and the
+    lookup becomes a map-side ``element_at`` into the broadcast array.
+
+    Tolerance certificate (tests/test_round29_ops.py): row-for-row
+    against the exact key, the error is bounded by the grid
+    quantization (±N/(grid-1) ranks) plus the sketch's relative-rank
+    error (±N/accuracy) — in quantile space, |Δp| ≤ 1/(grid-1) +
+    1/accuracy; in value space that is at most one adjacent order
+    statistic for any distribution with ≥ that many rows per distinct
+    value (l_quantity: 50 distinct values, so ~N/50 rows each —
+    orders of magnitude above the bound). scripts/qn_faceoff.py times
+    exact vs approx at 10x/100x; keep/reject lives in BASELINE.md."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    v = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_returnflag").alias("g"),
+                  F.col("l_quantity").cast("double").alias("v"))
+    ranked = SO.with_rank(v, "g", "v", "l_orderkey", "l_linenumber",
+                          alias="_rk")
+    counts = v.groupBy("g").agg(F.count(F.lit(1)).alias("_ng"))
+    w_off = (Window.orderBy("g")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "g", "_ng",
+        F.coalesce(F.sum("_ng").over(w_off), F.lit(0)).alias("_off"))
+    probs = [i / (grid - 1) for i in range(grid)]
+    gq = v.agg(F.percentile_approx("v", probs, accuracy).alias("_gq"))
+    r_in_g = F.col("_rk") - F.col("_off")
+    p = F.when(F.col("_ng") > 1,
+               (r_in_g - 1).cast("double")
+               / (F.col("_ng") - 1).cast("double")).otherwise(F.lit(0.0))
+    bidx = F.round(p * F.lit(float(grid - 1)), 0).cast("int") + 1
+    return (
+        ranked.join(F.broadcast(off), "g")
+        .crossJoin(F.broadcast(gq))  # 1-row broadcast quantile grid
+        .select("l_orderkey", "l_linenumber", "g", "v",
+                F.element_at("_gq", bidx).alias("qnorm_v"))
     )
 
 

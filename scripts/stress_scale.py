@@ -144,21 +144,37 @@ def build(spark, src: str, dst: str, copies: int) -> None:
         ).parquet(f"{dst}/{t}.parquet")
 
 
-def time_queries(spark, sf_dir: str, keys: list[str]) -> dict[str, float]:
+def settle_jvm(spark) -> None:
+    """Between-key JVM settle for the scale series (VERDICT r9 #3):
+    heavy keys (the 60M-row CC family) leave heap/GC pressure that
+    can inflate the NEXT key's reading ~5x (BENCH_SCALE100 r9 had to
+    adjudicate rolling_median 17.2x -> isolated 4.15x by hand).
+    Clearing the block-manager cache, forcing a full JVM GC, and
+    running a trivial query means every timed key starts from a
+    settled heap — so the committed artifact is trustworthy without
+    manual isolated probes."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    spark.range(1).count()
+
+
+def time_queries(spark, sf_dir: str, keys: list[str],
+                 settle: bool = False) -> dict[str, float]:
+    # min-of-N with bench.py's adaptive sub-second top-up (ADVICE r9:
+    # min-of-2 left the 100x-factor DENOMINATORS — several of which
+    # are sub-second at 10x — on a noisier floor than the bench keys)
+    from bench import timed_min
     from mini_sql_engine_spark.queries import QUERIES
 
     out = {}
     for k in keys:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            # same forcing as bench.py: noop write = full executor-side
-            # pipeline, nothing collected to the driver
-            QUERIES[k](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.time() - t0)
-        out[k] = round(best, 3)
+        if settle:
+            settle_jvm(spark)
+        # same forcing as bench.py: noop write = full executor-side
+        # pipeline, nothing collected to the driver
+        out[k] = timed_min(
+            lambda: QUERIES[k](spark, sf_dir).write.format("noop")
+            .mode("overwrite").save())
     return out
 
 
@@ -191,14 +207,32 @@ def main() -> int:
         keys = args.keys.split(",") if args.keys else HEADLINE_100X
         ensure_built(spark, args.src, args.out, 10)
         ensure_built(spark, args.src, args.out100, 100)
-        t10 = time_queries(spark, args.out, keys)
-        t100 = time_queries(spark, args.out100, keys)
+        t10 = time_queries(spark, args.out, keys, settle=True)
+        t100 = time_queries(spark, args.out100, keys, settle=True)
         factors = {k: round(t100[k] / max(t10[k], 1e-3), 2) for k in keys}
+        # auto-rerun rule (VERDICT r9 #3): any key whose factor exceeds
+        # 2x the series median is re-measured at both decades after a
+        # fresh settle; the re-measured numbers replace the in-series
+        # reading (min of the two samples) and the rerun is recorded —
+        # the committed artifact needs no manual isolated probes.
+        med = sorted(factors.values())[len(factors) // 2]
+        flagged = [k for k in keys if factors[k] > 2 * max(med, 1.0)]
+        reruns = {}
+        for k in flagged:
+            r10 = time_queries(spark, args.out, [k], settle=True)[k]
+            r100 = time_queries(spark, args.out100, [k], settle=True)[k]
+            reruns[k] = {"t10_sec": r10, "t100_sec": r100,
+                         "in_series_factor": factors[k]}
+            t10[k] = min(t10[k], r10)
+            t100[k] = min(t100[k], r100)
+            factors[k] = round(t100[k] / max(t10[k], 1e-3), 2)
         print(json.dumps({
             "mode": "series100",
             "t10_sec": t10,
             "t100_sec": t100,
             "factor_100x_over_10x": factors,
+            "median_factor": med,
+            "auto_rerun": reruns,
         }))
         return 0
 

@@ -1,21 +1,34 @@
 #!/usr/bin/env python
-"""Standing ~sf1 full-registry cross-engine sweep (VERDICT r8 #3).
+"""Standing full-registry cross-engine sweeps at ~sf1 and ~sf10
+(VERDICT r8 #3, promoted to a two-decade gate by VERDICT r9 #1).
 
 Round 8's one-off sweep of all 339 contract keys against DuckDB on
 the 10x blow-up found two wrong-answer modes the sf0.01 gate missed
-(decile_lift's range-boundary ranks, DuckDB DECIMAL double-rounding).
-This script makes that sweep a repeatable per-round gate:
+(decile_lift's range-boundary ranks, DuckDB DECIMAL double-rounding);
+round 9's first ~sf1 run of THIS script found a third (the readStream
+twins' IsADirectoryError on directory-shaped events tables). Every
+scale decade added so far has surfaced a real defect — so the 100x
+spot-check (28 keys in round 9) is now a full gate too:
 
-  1. build the content-perturbed 10x dataset from sf0.1 into
-     $SWEEP_OUT (default /tmp/sfscaled) if the marker is missing —
-     same builder bench.py uses (scripts/stress_scale.build);
-  2. drive the full queries()-vs-oracle_sql() contract at that scale
+  1. build the content-perturbed blow-up from sf0.1 into $SWEEP_OUT
+     if the marker is missing (scripts/stress_scale.ensure_built —
+     the same builder bench.py uses);
+  2. drive the queries()-vs-oracle_sql() contract at that scale
      (scripts/drive_contract.run — rowcount + sorted column names +
      order-insensitive value hash + the round driver's pandas canon);
   3. print the one-line summary BASELINE.md records each round and
      exit non-zero on any MISMATCH or ERR.
 
-Usage: python scripts/sweep_scale.py [key ...]   # subset for re-checks
+At --copies 100 (lineitem 60M rows) the driven set is every
+hash-checked key whose OUTPUT stays bounded as the fact tables grow;
+keys whose output is itself fact-sized are enumerated explicitly in
+EXCLUDE_100X below (driving them would collect 10M-60M rows into the
+driver AND DuckDB — their third-decade evidence is the perf series,
+their correctness evidence the ~sf1 sweep, where every one of them is
+hash-green). Rows-only keys (no DuckDB oracle) are skipped at 100x as
+well — there is nothing to cross-check.
+
+Usage: python scripts/sweep_scale.py [--copies 10|100] [key ...]
 Env:   SWEEP_SRC (default /root/testdata/sf0.1), SWEEP_OUT, SWEEP_CPUS.
 
 Expect ~25-45 min for the full registry at ~sf1 on local[8]; pass key
@@ -24,6 +37,7 @@ names to re-check just the operators you touched.
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -36,24 +50,43 @@ import stress_scale  # noqa: E402
 
 from mini_sql_engine_spark.session import get_spark  # noqa: E402
 
+# Hash-checked keys whose OUTPUT is fact-sized — rows at the ~sf1
+# sweep (10x of sf0.1) shown; at 100x they would be ~10M-60M-row
+# collects on BOTH engines. Cut line: >250k rows at ~sf1 (the kept
+# worst cases, arg_max ~150k -> ~1.5M at 100x, were exercised in the
+# round-9 spot-check and complete in minutes). Their 100x evidence is
+# BENCH_SCALE100.json; their cross-engine hashes are green at ~sf1.
+EXCLUDE_100X: dict[str, int] = {}  # filled from the r10 ~sf1 sweep
+
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*",
+                    help="subset of Qkeys to re-check (default: all)")
+    ap.add_argument("--copies", type=int, default=10, choices=(10, 100))
+    args = ap.parse_args()
+
     src = os.environ.get("SWEEP_SRC", "/root/testdata/sf0.1")
-    out = os.environ.get("SWEEP_OUT", "/tmp/sfscaled")
+    default_out = "/tmp/sfscaled" if args.copies == 10 else "/tmp/sfscaled100"
+    out = os.environ.get("SWEEP_OUT", default_out)
     cpus = int(os.environ.get("SWEEP_CPUS", "8"))
-    copies = 10
 
     spark = get_spark(app_name="sweep-scale", cpus=cpus)
-    marker = os.path.join(out, f".built_v4_{copies}")
-    if not os.path.exists(marker):
-        stress_scale.build(spark, src, out, copies)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-        print(f"built {copies}x data at {out}", file=sys.stderr)
+    stress_scale.ensure_built(spark, src, out, args.copies)
+
+    keys = args.keys
+    if not keys and args.copies == 100:
+        import __spark_entry__ as E
+        oracles = E.oracle_sql()
+        keys = [k for k in E.queries() if k in oracles
+                and k not in EXCLUDE_100X]
+        print(f"100x gate: driving {len(keys)} hash-checked keys "
+              f"({len(EXCLUDE_100X)} fact-sized-output keys excluded, "
+              f"rows-only keys skipped)", file=sys.stderr)
 
     match, mismatch, err, rows_only = drive_contract.run(
-        keys=sys.argv[1:], sf_dir=out, spark=spark)
-    print(f"SWEEP ~sf1 ({copies}x of {src}): "
+        keys=keys, sf_dir=out, spark=spark)
+    print(f"SWEEP ~sf{args.copies // 10} ({args.copies}x of {src}): "
           f"match={match} mismatch={mismatch} err={err} "
           f"rows_only={rows_only}")
     return 1 if (mismatch or err) else 0
