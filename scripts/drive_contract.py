@@ -74,6 +74,21 @@ def run(keys=None, sf_dir=None, spark=None):
     df = E.entry(spark)
     assert len(df.take(1)) > 0, "entry() returned no rows"
     con = duckdb.connect()
+    # An in-memory DuckDB defaults to 80% of system RAM, one thread
+    # per core, and CANNOT spill (no temp_directory). Worse, its
+    # buffer manager allocates 256 KiB blocks that glibc serves as
+    # one mmap each (>= the 128 KiB MMAP_THRESHOLD), so a working
+    # set past ~16 GiB exhausts the kernel's default
+    # vm.max_map_count=65530 and 256 KiB allocations start failing
+    # with std::bad_alloc / pthread EAGAIN while 100+ GiB of RAM sit
+    # free — exactly what the string-agg-heavy oracles hit at the
+    # 100x blow-up (boilerplate_strip: ~50M two-token segments).
+    # 12 GiB keeps live blocks (~49k mmaps) under the map budget;
+    # the temp_directory turns the rest into spill instead of death.
+    con.execute("SET memory_limit='12GB'")
+    con.execute(f"SET threads={CPUS}")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata is one file per table; Spark-written blow-up
         # dirs (sweep_scale) need the part-file glob

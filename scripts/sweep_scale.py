@@ -102,6 +102,30 @@ EXCLUDE_100X: dict[str, int] = {
 }
 
 
+def _raise_map_count(target: int = 262144) -> None:
+    """The 100x oracles need more than the kernel's default
+    vm.max_map_count=65530: DuckDB's bundled jemalloc retains virtual
+    ranges instead of unmapping (retain:true on Linux), so a
+    string-agg working set in the tens of GB accumulates >65k
+    mappings and 256 KiB allocations start dying with std::bad_alloc
+    / pthread EAGAIN while 100+ GiB of RAM sit free (measured:
+    boilerplate_strip at 100x pins /proc/<pid>/maps at exactly 65530
+    then aborts). Same knob Elasticsearch documents; best-effort —
+    non-root boxes get a warning and the small-SF drives are
+    unaffected."""
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        cur = int(open(path).read())
+        if cur < target:
+            open(path, "w").write(str(target))
+            print(f"raised vm.max_map_count {cur} -> {target}",
+                  file=sys.stderr)
+    except (OSError, ValueError) as e:
+        print(f"WARNING: could not raise vm.max_map_count ({e}); "
+              "100x string-heavy oracles may abort with bad_alloc",
+              file=sys.stderr)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*",
@@ -116,6 +140,9 @@ def main() -> int:
 
     spark = get_spark(app_name="sweep-scale", cpus=cpus)
     stress_scale.ensure_built(spark, src, out, args.copies)
+
+    if args.copies == 100:
+        _raise_map_count()
 
     keys = args.keys
     if not keys and args.copies == 100:
