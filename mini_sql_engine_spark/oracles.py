@@ -4353,13 +4353,25 @@ WITH per AS (
   GROUP BY 1
 ), tot AS (
   SELECT sum(ca) AS na, sum(cr) AS nr FROM per
+), pre AS (
+  -- window over the two SMALL bigint counts and multiply OUTSIDE the
+  -- frame: the cumulative counts are <= n_a/n_r, so the cross
+  -- products are bounded by n_a*n_r (~1e15 at the 100x blow-up) and
+  -- everything stays exact integer.  The previous form windowed the
+  -- per-row DECIMAL(38,0) signed term directly; at lineitem 60M rows
+  -- DuckDB's segment-tree window accumulator produced HUGEINT
+  -- intermediates past 1.7e38 and aborted (Overflow in HUGEINT
+  -- addition) even though every true prefix is <= n_a*n_r.
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_r
+  FROM per
 ), cum AS (
   SELECT v,
-         sum(CAST(CAST(ca AS DECIMAL(19,0)) * CAST(tot.nr AS DECIMAL(19,0))
-                  - CAST(cr AS DECIMAL(19,0)) * CAST(tot.na AS DECIMAL(19,0))
-                  AS DECIMAL(38,0)))
-           OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
-  FROM per, tot
+         CAST(CAST(cum_a AS DECIMAL(19,0)) * CAST(tot.nr AS DECIMAL(19,0))
+              - CAST(cum_r AS DECIMAL(19,0)) * CAST(tot.na AS DECIMAL(19,0))
+              AS DECIMAL(38,0)) AS c
+  FROM pre, tot
 ), dm AS (
   SELECT max(abs(c)) AS dnum FROM cum
 ), at AS (
