@@ -88,7 +88,11 @@ def run(keys=None, sf_dir=None, spark=None):
     con.execute("SET memory_limit='12GB'")
     con.execute(f"SET threads={CPUS}")
     con.execute("SET preserve_insertion_order=false")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-PID spill dir: concurrent drive processes (the sharded 100x
+    # gate) sharing one temp_directory delete each other's
+    # duckdb_temp_storage-*.tmp on connection cleanup and the loser
+    # terminates with duckdb::IOException mid-key
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         # driver testdata is one file per table; Spark-written blow-up
         # dirs (sweep_scale) need the part-file glob
