@@ -538,8 +538,16 @@ def prefix_filter_jaccard_pairs(
 
     sh = materialized(_doc_shingles(docs, n))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # Every join below is fact×fact at scale — the shingle-df table,
+    # the prefix index, and the (doc → shingle array) map all grow
+    # with the corpus, so none may ever be broadcast. Pin them to
+    # sort-merge: at the 100x blow-up AQE's runtime size estimate
+    # promoted one side to a broadcast and the driver died building
+    # it ("Not enough memory to build and broadcast the table");
+    # on a real cluster the same promotion would OOM the driver at
+    # far smaller corpora than the executors could handle.
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq.hint("merge"), "shingle")
         .select(
             "doc_id", "shingle",
             F.row_number().over(
@@ -554,7 +562,7 @@ def prefix_filter_jaccard_pairs(
     ).select("doc_id", "shingle")
     cands = (
         prefix.alias("a")
-        .join(prefix.alias("b"),
+        .join(prefix.alias("b").hint("merge"),
               (F.col("a.shingle") == F.col("b.shingle"))
               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
@@ -569,9 +577,11 @@ def prefix_filter_jaccard_pairs(
     j = (
         cands
         .join(arrs.select(F.col("doc_id").alias("doc_a"),
-                          F.col("_sh").alias("_sa")), "doc_a")
+                          F.col("_sh").alias("_sa")).hint("merge"),
+              "doc_a")
         .join(arrs.select(F.col("doc_id").alias("doc_b"),
-                          F.col("_sh").alias("_sb")), "doc_b")
+                          F.col("_sh").alias("_sb")).hint("merge"),
+              "doc_b")
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = inter.cast("double") / (

@@ -4835,7 +4835,18 @@ def bloom_prefilter(spark, sf_dir):
     keys = (o.filter(F.col("o_orderdate")
                      .between("1995-06-01", "1995-06-30"))
             .select("o_custkey").distinct())
+    # Size m from the MEASURED key count (≥16 bits/key, power-of-two
+    # for cheap div/pmod, floored at 2^20): a fixed m is a scale bug —
+    # at the 100x blow-up (~300k keys) 2^20 bits is ~3.5 bits/key and
+    # the realized FP rate (~25%) breaks the ok_fp_bounded certificate
+    # the oracle asserts. With m ≥ 16n and k=5 the expected FP rate is
+    # ~1.4e-3 at EVERY corpus size; the count() is the standard extra
+    # pass a Bloom build pays. Broadcast stays m/8 bytes (2 MiB at
+    # 100x); past ~1e9 keys the at-scale move is a partitioned filter.
+    n_keys_val = keys.count()
     nbits, nseeds = 1 << 20, 5
+    while nbits < 16 * n_keys_val:
+        nbits <<= 1
     seeds = F.sequence(F.lit(0), F.lit(nseeds - 1))
 
     def positions(col):
