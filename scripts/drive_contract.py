@@ -85,7 +85,12 @@ def run(keys=None, sf_dir=None, spark=None):
     # 100x blow-up (boilerplate_strip: ~50M two-token segments).
     # 12 GiB keeps live blocks (~49k mmaps) under the map budget;
     # the temp_directory turns the rest into spill instead of death.
-    con.execute("SET memory_limit='12GB'")
+    # 12GB default; DRIVE_DUCKDB_MEM overrides for oracles whose
+    # working set cannot spill (DuckDB recursive CTEs hold the whole
+    # iteration table in memory — the CC-family oracles at the 100x
+    # blow-up OOM at 12GB with 30+GB already spilled)
+    con.execute(f"SET memory_limit='"
+                f"{os.environ.get('DRIVE_DUCKDB_MEM', '12GB')}'")
     con.execute(f"SET threads={CPUS}")
     con.execute("SET preserve_insertion_order=false")
     # per-PID spill dir: concurrent drive processes (the sharded 100x

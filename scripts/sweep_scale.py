@@ -101,6 +101,36 @@ EXCLUDE_100X: dict[str, int] = {
     "exists_ineq": 262_550,
 }
 
+# Keys whose CROSS-CHECK (not the Spark plan) is infeasible at the
+# 100x blow-up — measured during the round-10 gate on a 125 GiB /
+# 80 GiB-free box; every one of them is hash-green at the ~sf1 sweep
+# and (where in the 65-key series) timed clean at 100x in
+# BENCH_SCALE100.json:
+#
+# - or_join_union: quadratic BY CONSTRUCTION of the blow-up, on both
+#   engines — the OR-join's nation disjunct keeps its fixed 25-key
+#   domain while both sides grow 100x, so the pair intermediate grows
+#   as copies^2 (~6e11 rows at 100x; Spark's shuffle for it filled
+#   >70 GiB of disk twice). Real corpora grow the key domain with the
+#   data; the union-of-hash-joins rewrite itself is the right plan.
+# - dedup_cc / cluster_canonical / cluster_sizes / dedup_graph_stats:
+#   the DuckDB twin computes connected components with a recursive
+#   CTE, which holds the whole iteration table in memory (cannot
+#   spill): OOM at the 12 GB cap with 32 GiB already spilled
+#   (dedup_cc), >56 GiB of temp before dying (cluster_canonical).
+#   The SPARK side of all four completes in 59-64 s at 100x
+#   (BENCH_SCALE100.json) — it is the oracle that cannot scale.
+# - minhash_est_quality: the oracle's exact-verification join spilled
+#   past ~43 GiB of free disk in a solo drive.
+ORACLE_INFEASIBLE_100X: dict[str, str] = {
+    "or_join_union": "blow-up-quadratic pair intermediate (~6e11 rows)",
+    "dedup_cc": "DuckDB recursive-CTE CC: OOM at 12GB cap, 32GB spilled",
+    "cluster_canonical": "DuckDB recursive-CTE CC: >56GB temp, disk-full",
+    "cluster_sizes": "DuckDB recursive-CTE CC (same oracle shape)",
+    "dedup_graph_stats": "DuckDB recursive-CTE CC: disk-full twice",
+    "minhash_est_quality": "oracle exact-verify join spills >43GB",
+}
+
 
 def _raise_map_count(target: int = 262144) -> None:
     """The 100x oracles need more than the kernel's default
@@ -149,10 +179,12 @@ def main() -> int:
         import __spark_entry__ as E
         oracles = E.oracle_sql()
         keys = [k for k in E.queries() if k in oracles
-                and k not in EXCLUDE_100X]
+                and k not in EXCLUDE_100X
+                and k not in ORACLE_INFEASIBLE_100X]
         print(f"100x gate: driving {len(keys)} hash-checked keys "
-              f"({len(EXCLUDE_100X)} fact-sized-output keys excluded, "
-              f"rows-only keys skipped)", file=sys.stderr)
+              f"({len(EXCLUDE_100X)} fact-sized-output and "
+              f"{len(ORACLE_INFEASIBLE_100X)} oracle-infeasible keys "
+              f"excluded, rows-only keys skipped)", file=sys.stderr)
 
     match, mismatch, err, rows_only = drive_contract.run(
         keys=keys, sf_dir=out, spark=spark)
