@@ -107,3 +107,27 @@ def test_registry_is_large_enough_to_need_rotation():
     # small margin so a deliberate key retirement doesn't break CI)
     assert len(QUERIES) >= 260
     assert len(ORACLES) >= 242
+
+
+def test_100x_gate_exclusion_lists_reference_real_hash_checked_keys():
+    """The 100x gate's two exclusion lists (fact-sized outputs,
+    oracle-infeasible cross-checks) must name only keys that exist in
+    the registry AND have a DuckDB oracle — otherwise an exclusion
+    silently stops excluding anything when a key is renamed, and the
+    gate either re-runs a known-infeasible oracle or (worse) reports
+    a smaller driven set than BASELINE.md records."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from sweep_scale import EXCLUDE_100X, ORACLE_INFEASIBLE_100X
+
+    import __spark_entry__ as E
+    queries, oracles = E.queries(), E.oracle_sql()
+    for name, lst in (("EXCLUDE_100X", EXCLUDE_100X),
+                      ("ORACLE_INFEASIBLE_100X", ORACLE_INFEASIBLE_100X)):
+        for k in lst:
+            assert k in queries, f"{name} names unknown key {k!r}"
+            assert k in oracles, (
+                f"{name} names rows-only key {k!r} — rows-only keys "
+                "are already skipped at 100x, the entry is dead")
+    overlap = set(EXCLUDE_100X) & set(ORACLE_INFEASIBLE_100X)
+    assert not overlap, f"keys in both exclusion lists: {overlap}"
