@@ -196,11 +196,8 @@ def maybe_bench_sf1(spark, base_sf_dir: str, base_sf: float):
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        marker = os.path.join(out, f".built_v4_{copies}")
-        if not os.path.exists(marker):
-            mod.build(spark, base_sf_dir, out, copies)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+        # single-source the marker/version logic in stress_scale
+        mod.ensure_built(spark, base_sf_dir, out, copies)
         # min-of-3 (round 3: a concurrent Spark session inflated
         # short TakeOrdered queries up to 7.3x), topped up to 5 for
         # sub-second keys — same noise-floor reasoning as the base

@@ -3617,7 +3617,11 @@ WITH toks AS (
   WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
         >= 0.5
 )
-SELECT t.threshold, CAST(count_if(j >= t.threshold) AS BIGINT) AS n_pairs
+-- threshold cast to DOUBLE: Spark's literal array is double, and the
+-- engine-side checksum canon is type-faithful (a DECIMAL(2,1) 0.5
+-- renders '0.5' while a DOUBLE renders its mantissa form)
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+       CAST(count_if(j >= t.threshold) AS BIGINT) AS n_pairs
 FROM jac, (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS threshold) t
 GROUP BY t.threshold
 """

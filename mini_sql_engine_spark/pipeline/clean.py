@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from mini_sql_engine_spark.functions.text import bind_once, shingles, tokens
 from mini_sql_engine_spark.pipeline.dedup import exact_dedup, minhash_lsh_candidates
 
+# stratified_sample collects the strata domain to the driver (sampleBy
+# wants a fraction dict); past this many distinct values the column is
+# not a stratification key and the collect would flood the driver.
+MAX_STRATA = 100_000
+
 
 def quality_gate(
     docs: DataFrame,
@@ -102,8 +107,26 @@ def stratified_sample(
 
     Strata absent from ``fractions`` get ``default_fraction`` (keep
     everything by default — explicit about what is downsampled).
+
+    The strata domain IS collected to the driver (``sampleBy`` wants a
+    per-stratum fraction dict), which is fine for language/domain
+    strata but would silently OOM the driver if someone passed a
+    near-unique column — so the domain is capped like every other
+    driver-bounded surface in this repo: > ``max_strata`` distinct
+    values raises instead of collecting them.
     """
-    domain = [r[0] for r in docs.select(strata_col).distinct().collect()]
+    domain = [
+        r[0]
+        for r in docs.select(strata_col).distinct()
+        .limit(MAX_STRATA + 1).collect()
+    ]
+    if len(domain) > MAX_STRATA:
+        raise ValueError(
+            f"stratified_sample: column {strata_col!r} has more than "
+            f"{MAX_STRATA} distinct values — not a stratification "
+            "column; pick a bounded-cardinality key (language, domain, "
+            "source) or pre-bucket it"
+        )
     full = {v: float(fractions.get(v, default_fraction)) for v in domain}
     return docs.sampleBy(strata_col, full, seed=seed)
 

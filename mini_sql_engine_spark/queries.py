@@ -4817,44 +4817,69 @@ def bloom_prefilter(spark, sf_dir):
     prune a fact scan before the real join (Spark's own runtime
     row-group filters do exactly this; here it is a first-class,
     inspectable operator). Build: the key set's k=5 positions
-    (xxhash64 seeds) fold into m=2^20 bits as 16 Ki 64-bit words via
+    (xxhash64 seeds) fold into m bits as m/64 64-bit words via
     ``bit_or`` — one keyed agg, output is KILOBYTES regardless of
     corpus size, broadcast to the probe. Probe: each candidate checks
     its 5 bits against the broadcast words; all-set ⇒ pass.
+
+    m is sized INSIDE the plan from the approximate key count (next
+    power of two ≥ ~20 bits/key nominal, ≥16 after HLL error, floored
+    at 2^20): a fixed m is a scale bug — at the 100x blow-up (~300k
+    keys) 2^20 bits is ~3.5 bits/key and the realized ~25 % FP rate
+    breaks the ok_fp_bounded certificate. The sizing aggregate is a
+    cheap scan-level approx_count_distinct branch crossJoin-broadcast
+    into build and probe, so query CONSTRUCTION stays plan-only (no
+    eager count() job — the r10 version paid one and broke the
+    registry's schemas-resolve-without-jobs invariant) and the count
+    rides the same job. With m ≥ 16n and k=5 the expected FP rate is
+    ≤ ~3e-3 at EVERY corpus size; broadcast stays m/8 bytes (2 MiB at
+    100x); past ~1e9 keys the at-scale move is a partitioned filter.
 
     Hash-checked via certificate (the filter bits are
     engine-specific; the GUARANTEES are not): exact n_keys /
     n_probed / n_true_matches, ok_no_false_neg (a Bloom filter NEVER
     drops a true member — definitional, and asserted over real bits
-    here), ok_fp_bounded (false-positive rate ≤ 5 %; with m ≈ 150
-    bits/key at sf1 the expected rate is ~4e-5 — the m ≈ 10n sizing
-    rule in the docstring is the at-scale knob)."""
+    here), ok_fp_bounded (false-positive rate ≤ 5 %)."""
     cat = Catalog(spark, sf_dir)
     o = cat.table("orders")
     c = cat.table("customer")
     keys = (o.filter(F.col("o_orderdate")
                      .between("1995-06-01", "1995-06-30"))
             .select("o_custkey").distinct())
-    # Size m from the MEASURED key count (≥16 bits/key, power-of-two
-    # for cheap div/pmod, floored at 2^20): a fixed m is a scale bug —
-    # at the 100x blow-up (~300k keys) 2^20 bits is ~3.5 bits/key and
-    # the realized FP rate (~25%) breaks the ok_fp_bounded certificate
-    # the oracle asserts. With m ≥ 16n and k=5 the expected FP rate is
-    # ~1.4e-3 at EVERY corpus size; the count() is the standard extra
-    # pass a Bloom build pays. Broadcast stays m/8 bytes (2 MiB at
-    # 100x); past ~1e9 keys the at-scale move is a partitioned filter.
-    n_keys_val = keys.count()
-    nbits, nseeds = 1 << 20, 5
-    while nbits < 16 * n_keys_val:
-        nbits <<= 1
+    # m from the key count as a 1-row PLAN branch (next power of two
+    # ≥ ~20 bits/key nominal via pow(2, ceil(log2(20·n_est))), floor
+    # 2^20). n_est is approx_count_distinct over the FILTERED orders —
+    # no distinct exchange, so the sizing branch is a cheap scan-agg
+    # even though the plan references it twice (build + probe); HLL's
+    # ±2-4 % error over the 20-bits/key nominal still leaves ≥16
+    # bits/key, keeping the expected FP rate ≤ ~3e-3 at every corpus
+    # size. The exact n_keys certificate below is a separate branch.
+    nseeds = 5
+    sizing = (
+        o.filter(F.col("o_orderdate").between("1995-06-01", "1995-06-30"))
+        .groupBy().agg(F.approx_count_distinct("o_custkey").alias("_n"))
+        .select(
+            F.greatest(
+                F.lit(1 << 20).cast("long"),
+                F.pow(
+                    F.lit(2.0),
+                    F.ceil(F.log2(
+                        F.greatest(F.lit(1).cast("long"),
+                                   F.col("_n") * 20).cast("double")
+                    )).cast("double"),
+                ).cast("long"),
+            ).alias("_nbits"),
+        )
+    )
     seeds = F.sequence(F.lit(0), F.lit(nseeds - 1))
 
     def positions(col):
         return F.explode(F.transform(
-            seeds, lambda i: F.pmod(F.xxhash64(col, i), F.lit(nbits))))
+            seeds, lambda i: F.pmod(F.xxhash64(col, i), F.col("_nbits"))))
 
     words = (
-        keys.select(positions(F.col("o_custkey")).alias("_pos"))
+        keys.crossJoin(F.broadcast(sizing.select("_nbits")))
+        .select(positions(F.col("o_custkey")).alias("_pos"))
         .select(F.expr("_pos div 64").alias("_w"),
                 F.expr("shiftleft(CAST(1 AS BIGINT), "
                        "CAST(pmod(_pos, 64) AS INT))").alias("_bit"))
@@ -4862,6 +4887,7 @@ def bloom_prefilter(spark, sf_dir):
     )
     probe = (
         c.select("c_custkey")
+        .crossJoin(F.broadcast(sizing.select("_nbits")))
         .select("c_custkey", positions(F.col("c_custkey")).alias("_pos"))
         .select("c_custkey", F.expr("_pos div 64").alias("_w"),
                 F.pmod("_pos", F.lit(64)).cast("int").alias("_b"))

@@ -49,11 +49,18 @@ KEYS = {
     # models more data, not a 10×-duplicated corpus
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    # round 11 (VERDICT r10 #7): the NATION dimension now scales with
+    # the data — each copy gets its own 25-nation key universe (names
+    # repeat; n_regionkey keeps pointing at the 5 fixed regions so
+    # region joins stay consistent), and c_nationkey/s_nationkey are
+    # offset to match.  The old fixed 25-key domain made every
+    # nation-equality join's pair intermediate quadratic IN THE
+    # NUMBER OF COPIES by construction (~6e11 rows for or_join_union
+    # at 100x) — real corpora grow key domains with the data.
+    "nation": ["n_nationkey"],
 }
-# nation/region are dimensions — copied once, keys must keep matching,
-# so nationkeys are NOT offset (c_nationkey/s_nationkey offsets would
-# break the dim join); instead those two fact-side keys stay raw too.
-NO_OFFSET = {"c_nationkey", "s_nationkey"}
+# region stays a fixed 5-row dimension: n_regionkey is never offset.
+NO_OFFSET: set[str] = set()
 OFFSET = 100_000_000
 
 HEADLINE = ["group_agg", "q3_topk", "q5_local_suppliers", "equi_join",
@@ -136,7 +143,7 @@ def scale_table(df: DataFrame, table: str, keys: list[str],
 
 def build(spark, src: str, dst: str, copies: int) -> None:
     cat = Catalog(spark, src)
-    for t in ["region", "nation", "events"]:
+    for t in ["region", "events"]:
         cat.table(t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     for t, keys in KEYS.items():
         scale_table(cat.table(t), t, keys, copies).write.mode(
@@ -179,7 +186,8 @@ def time_queries(spark, sf_dir: str, keys: list[str],
 
 
 def ensure_built(spark, src: str, out: str, copies: int) -> None:
-    marker = os.path.join(out, f".built_v4_{copies}")
+    # v5: nation-key domain scales with the copies (VERDICT r10 #7)
+    marker = os.path.join(out, f".built_v5_{copies}")
     if not os.path.exists(marker):
         t0 = time.time()
         build(spark, src, out, copies)

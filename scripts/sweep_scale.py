@@ -19,14 +19,25 @@ spot-check (28 keys in round 9) is now a full gate too:
   3. print the one-line summary BASELINE.md records each round and
      exit non-zero on any MISMATCH or ERR.
 
-At --copies 100 (lineitem 60M rows) the driven set is every
-hash-checked key whose OUTPUT stays bounded as the fact tables grow;
-keys whose output is itself fact-sized are enumerated explicitly in
-EXCLUDE_100X below (driving them would collect 10M-60M rows into the
-driver AND DuckDB — their third-decade evidence is the perf series,
-their correctness evidence the ~sf1 sweep, where every one of them is
-hash-green). Rows-only keys (no DuckDB oracle) are skipped at 100x as
-well — there is nothing to cross-check.
+At --copies 100 (lineitem 60M rows) EVERY hash-checked key is driven
+(VERDICT r10 #1/#3):
+
+- bounded-output keys: the full collect-and-compare contract;
+- fact-sized-output keys (CHECKSUM_100X below — driving them would
+  collect 10M-60M rows into the driver): the engine-side checksum
+  fold (drive_contract.spark_checksum / duck_checksum) — BOTH
+  engines reduce their own result to one (count, fold1, fold2) row
+  over the portable row-rendering canon, so nothing is collected;
+- the CC family (CC_KEYS_100X): DuckDB's recursive-CTE closure
+  cannot spill and OOMs at this decade, so the 100x oracle swaps
+  ONLY the closure — DuckDB still computes the edge list
+  independently (the same pair SQL its own dedup_ngram oracle runs
+  green in this gate), a python union-find closes it, and the
+  relational tail runs in DuckDB over the resulting ``cc_labels``
+  temp table.
+
+Rows-only keys (no DuckDB oracle) are skipped at 100x — there is
+nothing to cross-check.
 
 Usage: python scripts/sweep_scale.py [--copies 10|100] [key ...]
 Env:   SWEEP_SRC (default /root/testdata/sf0.1), SWEEP_OUT, SWEEP_CPUS.
@@ -40,6 +51,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))  # repo root
@@ -52,15 +64,17 @@ from mini_sql_engine_spark.session import get_spark  # noqa: E402
 
 # Hash-checked keys whose OUTPUT is fact-sized — measured rows at the
 # ~sf1 blow-up (10x of sf0.1) shown; at 100x they would be ~2.5M-300M
-# row collects on BOTH engines. Cut line: >250k rows at ~sf1 (the
-# kept worst cases — arg_max ~150k at ~sf1 -> 1.5M at 100x — were
-# exercised in the round-9 spot-check and complete in minutes; the
-# events-derived 100k-row keys don't grow at all because the blow-up
-# leaves the events table unscaled, which keeps the three stream_*
-# twins in the gate per VERDICT r9 #7). Their 100x evidence is the
-# perf series (BENCH_SCALE100.json); their cross-engine hashes are
-# green at every decade up to the ~sf1 sweep.
-EXCLUDE_100X: dict[str, int] = {
+# row collects on BOTH engines, so they are driven with the
+# ENGINE-SIDE CHECKSUM compare instead of the full collect (VERDICT
+# r10 #1 — both engines fold their own result to one count+hash row;
+# the fold work is linear and streams, nothing is materialized).
+# Cut line for membership: >250k output rows at ~sf1 (the kept worst
+# cases — arg_max ~150k at ~sf1 -> 1.5M at 100x — complete in
+# minutes under the full compare; the events-derived 100k-row keys
+# don't grow at all because the blow-up leaves the events table
+# unscaled, which keeps the three stream_* twins in the full-compare
+# set per VERDICT r9 #7).
+CHECKSUM_100X: dict[str, int] = {
     "theta_join": 29_725_400,
     "quantile_normalize": 6_000_000,
     "iqr_scale": 6_000_000,
@@ -102,34 +116,125 @@ EXCLUDE_100X: dict[str, int] = {
 }
 
 # Keys whose CROSS-CHECK (not the Spark plan) is infeasible at the
-# 100x blow-up — measured during the round-10 gate on a 125 GiB /
-# 80 GiB-free box; every one of them is hash-green at the ~sf1 sweep
-# and (where in the 65-key series) timed clean at 100x in
-# BENCH_SCALE100.json:
-#
-# - or_join_union: quadratic BY CONSTRUCTION of the blow-up, on both
-#   engines — the OR-join's nation disjunct keeps its fixed 25-key
-#   domain while both sides grow 100x, so the pair intermediate grows
-#   as copies^2 (~6e11 rows at 100x; Spark's shuffle for it filled
-#   >70 GiB of disk twice). Real corpora grow the key domain with the
-#   data; the union-of-hash-joins rewrite itself is the right plan.
-# - dedup_cc / cluster_canonical / cluster_sizes / dedup_graph_stats:
-#   the DuckDB twin computes connected components with a recursive
-#   CTE, which holds the whole iteration table in memory (cannot
-#   spill): OOM at the 12 GB cap with 32 GiB already spilled
-#   (dedup_cc), >56 GiB of temp before dying (cluster_canonical).
-#   The SPARK side of all four completes in 59-64 s at 100x
-#   (BENCH_SCALE100.json) — it is the oracle that cannot scale.
-# - minhash_est_quality: the oracle's exact-verification join spilled
-#   past ~43 GiB of free disk in a solo drive.
+# 100x blow-up — measured on a 125 GiB / 80 GiB-free box; every one
+# of them is hash-green at the ~sf1 sweep and (where in the 65-key
+# series) timed clean at 100x in BENCH_SCALE100.json.  Round 11
+# closed the r10 entries: the CC family moved to the union-find
+# oracle (CC_KEYS_100X), or_join_union re-entered the full set once
+# the blow-up's nation-key domain scaled with the data
+# (stress_scale v5), and dedup_graph_stats (no recursion in its
+# oracle — its r10 disk-fill was concurrent-shard pressure) re-ran
+# clean solo.
 ORACLE_INFEASIBLE_100X: dict[str, str] = {
-    "or_join_union": "blow-up-quadratic pair intermediate (~6e11 rows)",
-    "dedup_cc": "DuckDB recursive-CTE CC: OOM at 12GB cap, 32GB spilled",
-    "cluster_canonical": "DuckDB recursive-CTE CC: >56GB temp, disk-full",
-    "cluster_sizes": "DuckDB recursive-CTE CC (same oracle shape)",
-    "dedup_graph_stats": "DuckDB recursive-CTE CC: disk-full twice",
     "minhash_est_quality": "oracle exact-verify join spills >43GB",
 }
+
+# The CC family at 100x (VERDICT r10 #3): DuckDB computes the EDGES
+# independently (same pair SQL the green dedup_ngram oracle runs),
+# python union-find computes the closure, the relational tail runs in
+# DuckDB over the cc_labels temp table.  cluster_canonical's output
+# is one row per cluster INCLUDING singletons (~5M at 100x) so it
+# compares via checksum; the other two outputs are tiny.
+CC_EDGES_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           AS shingle
+  FROM toks WHERE len(tk) >= 3
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.6
+"""
+
+CC_ORACLE_100X: dict[str, str] = {
+    "dedup_cc": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_rep AS BIGINT) AS cluster_rep
+FROM cc_labels
+""",
+    "cluster_sizes": """
+WITH per_cluster AS (
+  SELECT cluster_rep, count(*) AS cluster_size
+  FROM cc_labels GROUP BY cluster_rep
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM per_cluster GROUP BY cluster_size
+""",
+    "cluster_canonical": """
+WITH lab AS (
+  SELECT d.doc_id, coalesce(r.cluster_rep, d.doc_id) AS cluster, d.n_chars
+  FROM documents d LEFT JOIN cc_labels r USING (doc_id)
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM lab
+)
+SELECT cluster,
+       max(CASE WHEN rnk = 1 THEN doc_id END) AS canonical_doc,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(n_chars) AS max_chars
+FROM rk GROUP BY cluster
+""",
+}
+CC_KEYS_100X = tuple(CC_ORACLE_100X)
+
+
+def union_find(edges):
+    """Plain-python connected components — the independent closure
+    oracle for the CC family (min reachable node per node)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root is the component's min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def register_cc_labels(con):
+    """con_setup hook: edges from DuckDB, closure in python,
+    cc_labels temp table for the CC_ORACLE_100X tail."""
+    t0 = time.time()
+    edges = con.execute(CC_EDGES_SQL).fetchall()
+    labels = union_find(edges)
+    import pandas as pd
+    pdf = pd.DataFrame(
+        sorted(labels.items()), columns=["doc_id", "cluster_rep"])
+    con.register("_cc_labels_src", pdf)
+    con.execute("CREATE OR REPLACE TEMP TABLE cc_labels AS "
+                "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+                "CAST(cluster_rep AS BIGINT) AS cluster_rep "
+                "FROM _cc_labels_src")
+    print(f"cc_labels: {len(edges)} edges -> {len(labels)} labeled "
+          f"nodes in {time.time()-t0:.1f}s (union-find oracle)",
+          file=sys.stderr)
 
 
 def _raise_map_count(target: int = 262144) -> None:
@@ -175,19 +280,33 @@ def main() -> int:
         _raise_map_count()
 
     keys = args.keys
-    if not keys and args.copies == 100:
+    checksum_keys: set[str] = set()
+    oracle_overrides: dict[str, str] = {}
+    con_setup = None
+    if args.copies == 100:
         import __spark_entry__ as E
         oracles = E.oracle_sql()
-        keys = [k for k in E.queries() if k in oracles
-                and k not in EXCLUDE_100X
-                and k not in ORACLE_INFEASIBLE_100X]
+        if not keys:
+            keys = [k for k in E.queries() if k in oracles
+                    and k not in ORACLE_INFEASIBLE_100X]
+        # fact-sized outputs compare via the engine-side checksum fold
+        checksum_keys = {k for k in keys if k in CHECKSUM_100X
+                         or k == "cluster_canonical"}
+        if any(k in CC_KEYS_100X for k in keys):
+            oracle_overrides = CC_ORACLE_100X
+            con_setup = register_cc_labels
+        n_full = len(keys) - len(checksum_keys)
         print(f"100x gate: driving {len(keys)} hash-checked keys "
-              f"({len(EXCLUDE_100X)} fact-sized-output and "
+              f"({n_full} full-compare, {len(checksum_keys)} checksum, "
+              f"{len([k for k in keys if k in CC_KEYS_100X])} via the "
+              f"union-find CC oracle; "
               f"{len(ORACLE_INFEASIBLE_100X)} oracle-infeasible keys "
               f"excluded, rows-only keys skipped)", file=sys.stderr)
 
     match, mismatch, err, rows_only = drive_contract.run(
-        keys=keys, sf_dir=out, spark=spark)
+        keys=keys, sf_dir=out, spark=spark,
+        oracle_overrides=oracle_overrides, con_setup=con_setup,
+        checksum_keys=checksum_keys)
     print(f"SWEEP ~sf{args.copies // 10} ({args.copies}x of {src}): "
           f"match={match} mismatch={mismatch} err={err} "
           f"rows_only={rows_only}")

@@ -109,25 +109,30 @@ def test_registry_is_large_enough_to_need_rotation():
     assert len(ORACLES) >= 242
 
 
-def test_100x_gate_exclusion_lists_reference_real_hash_checked_keys():
-    """The 100x gate's two exclusion lists (fact-sized outputs,
-    oracle-infeasible cross-checks) must name only keys that exist in
-    the registry AND have a DuckDB oracle — otherwise an exclusion
-    silently stops excluding anything when a key is renamed, and the
-    gate either re-runs a known-infeasible oracle or (worse) reports
-    a smaller driven set than BASELINE.md records."""
+def test_100x_gate_key_lists_reference_real_hash_checked_keys():
+    """The 100x gate's key lists (checksum-compared fact-sized
+    outputs, oracle-infeasible cross-checks, the union-find CC
+    family) must name only keys that exist in the registry AND have a
+    DuckDB oracle — otherwise an entry silently stops applying when a
+    key is renamed, and the gate either re-runs a known-infeasible
+    oracle or (worse) reports a smaller driven set than BASELINE.md
+    records."""
     import sys
-    sys.path.insert(0, "/root/repo/scripts")
-    from sweep_scale import EXCLUDE_100X, ORACLE_INFEASIBLE_100X
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from sweep_scale import (CC_ORACLE_100X, CHECKSUM_100X,
+                             ORACLE_INFEASIBLE_100X)
 
     import __spark_entry__ as E
     queries, oracles = E.queries(), E.oracle_sql()
-    for name, lst in (("EXCLUDE_100X", EXCLUDE_100X),
-                      ("ORACLE_INFEASIBLE_100X", ORACLE_INFEASIBLE_100X)):
+    for name, lst in (("CHECKSUM_100X", CHECKSUM_100X),
+                      ("ORACLE_INFEASIBLE_100X", ORACLE_INFEASIBLE_100X),
+                      ("CC_ORACLE_100X", CC_ORACLE_100X)):
         for k in lst:
             assert k in queries, f"{name} names unknown key {k!r}"
             assert k in oracles, (
                 f"{name} names rows-only key {k!r} — rows-only keys "
                 "are already skipped at 100x, the entry is dead")
-    overlap = set(EXCLUDE_100X) & set(ORACLE_INFEASIBLE_100X)
-    assert not overlap, f"keys in both exclusion lists: {overlap}"
+    overlap = set(CHECKSUM_100X) & set(ORACLE_INFEASIBLE_100X)
+    assert not overlap, f"keys in both checksum and infeasible: {overlap}"
+    overlap = set(CC_ORACLE_100X) & set(ORACLE_INFEASIBLE_100X)
+    assert not overlap, f"CC keys still marked infeasible: {overlap}"
