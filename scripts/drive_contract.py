@@ -275,7 +275,7 @@ def _sweep_stale_spill_dirs():
 
 
 def run(keys=None, sf_dir=None, spark=None, oracle_overrides=None,
-        con_setup=None, checksum_keys=()):
+        con_setup=None, checksum_keys=(), pandas_twin=True):
     """Drive the queries()-vs-oracle_sql() contract at ``sf_dir``.
 
     ``oracle_overrides`` swaps individual keys' DuckDB SQL (the 100x
@@ -283,6 +283,16 @@ def run(keys=None, sf_dir=None, spark=None, oracle_overrides=None,
     via ``con_setup`` and rewrites the recursive CTE against it);
     ``checksum_keys`` compares those keys with the engine-side
     checksum fold instead of collecting rows.
+
+    ``pandas_twin=False`` skips the round-driver pandas-canon
+    replication (which RE-EXECUTES both the Spark query and the
+    oracle — doubling per-key cost). The twin exists to catch
+    stringification divergences (Decimal trailing zeros, DATE vs
+    TIMESTAMP forms), which are properties of the output SCHEMA, not
+    the data volume — the 100x gate disables it because every key
+    passes the twin at sf0.01/sf0.1/~sf1 and the 100x question is
+    about VALUES at scale (rowcount + sorted cols + value hash keep
+    full strength).
 
     Returns (match, mismatch, err, rows_only) so callers
     (scripts/sweep_scale.py — the standing ~sf1 gate) can assert on
@@ -370,7 +380,8 @@ def run(keys=None, sf_dir=None, spark=None, oracle_overrides=None,
             # Decimal-vs-float64 trailing zeros, DATE-vs-TIMESTAMP
             # strings, and unsortable list cells that the collect()
             # hash above normalizes away.
-            ok_pd = (pandas_hash(sdf.toPandas())
+            ok_pd = (not pandas_twin
+                     or pandas_hash(sdf.toPandas())
                      == pandas_hash(con.execute(oracles[k]).fetchdf()))
             if ok_rows and ok_cols and ok_hash and ok_pd:
                 print(f"MATCH     {k}: {len(srows)} rows")

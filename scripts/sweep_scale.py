@@ -192,6 +192,26 @@ SELECT cluster,
        max(n_chars) AS max_chars
 FROM rk GROUP BY cluster
 """,
+    # dedup_graph_stats has NO recursion, but its original oracle's
+    # scalar subqueries make DuckDB evaluate the giant pairs-join CTE
+    # several times concurrently — measured >56 GiB of spill before
+    # disk-full at 100x (r10, reproduced solo in r11). The gate
+    # oracle runs the identical stats over the ONCE-materialized
+    # cc_edges temp table (the same edge SQL the union-find oracle
+    # fetches — one pass, 85 s, no spill blow-up).
+    "dedup_graph_stats": """
+WITH deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT doc_a AS v FROM cc_edges
+        UNION ALL SELECT doc_b FROM cc_edges)
+  GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM cc_edges) AS BIGINT) AS n_edges,
+       CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+       (SELECT CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) / count(*) FROM deg)
+         AS mean_degree
+""",
 }
 CC_KEYS_100X = tuple(CC_ORACLE_100X)
 
@@ -219,12 +239,18 @@ def union_find(edges):
 
 
 def register_cc_labels(con):
-    """con_setup hook: edges from DuckDB, closure in python,
-    cc_labels temp table for the CC_ORACLE_100X tail."""
+    """con_setup hook: edges from DuckDB (ONE materialized pass),
+    closure in python, cc_labels + cc_edges temp tables for the
+    CC_ORACLE_100X tails."""
     t0 = time.time()
     edges = con.execute(CC_EDGES_SQL).fetchall()
     labels = union_find(edges)
     import pandas as pd
+    epdf = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    con.register("_cc_edges_src", epdf)
+    con.execute("CREATE OR REPLACE TEMP TABLE cc_edges AS "
+                "SELECT CAST(doc_a AS BIGINT) AS doc_a, "
+                "CAST(doc_b AS BIGINT) AS doc_b FROM _cc_edges_src")
     pdf = pd.DataFrame(
         sorted(labels.items()), columns=["doc_id", "cluster_rep"])
     con.register("_cc_labels_src", pdf)
@@ -306,7 +332,12 @@ def main() -> int:
     match, mismatch, err, rows_only = drive_contract.run(
         keys=keys, sf_dir=out, spark=spark,
         oracle_overrides=oracle_overrides, con_setup=con_setup,
-        checksum_keys=checksum_keys)
+        checksum_keys=checksum_keys,
+        # pandas-canon twin off at 100x only: it RE-EXECUTES both
+        # engines per key, and what it checks (stringification canon)
+        # is schema-determined — proven for every key at three
+        # smaller scales where the twin stays on
+        pandas_twin=(args.copies != 100))
     print(f"SWEEP ~sf{args.copies // 10} ({args.copies}x of {src}): "
           f"match={match} mismatch={mismatch} err={err} "
           f"rows_only={rows_only}")
