@@ -3304,11 +3304,21 @@ sig AS (
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
   GROUP BY 1, 2, 3
+), cdocs AS (
+  -- bound the exact-Jaccard verify to candidate docs, mirroring the
+  -- Spark plan's semi-join (queries.py minhash_est_quality): only
+  -- candidate pairs are ever looked up below, so restricting the
+  -- shingle self-join's input is value-identical — and it is what
+  -- makes the oracle feasible at the 100x blow-up (the all-docs
+  -- self-join spilled >43 GB there; VERDICT r11 #1)
+  SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs USING (doc_id)
 ), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+  SELECT doc_id, count(*) AS n FROM shc GROUP BY 1
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT e.doc_a, e.doc_b,

@@ -96,6 +96,7 @@ def stratified_sample(
     fractions: dict[str, float],
     seed: int = 42,
     default_fraction: float = 1.0,
+    max_strata: int | None = None,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling — the rebalancing step of a
     training-data mix (downsample over-represented languages/domains,
@@ -112,18 +113,20 @@ def stratified_sample(
     per-stratum fraction dict), which is fine for language/domain
     strata but would silently OOM the driver if someone passed a
     near-unique column — so the domain is capped like every other
-    driver-bounded surface in this repo: > ``max_strata`` distinct
-    values raises instead of collecting them.
+    driver-bounded surface in this repo: more than ``max_strata``
+    distinct values (default: the module constant ``MAX_STRATA``)
+    raises instead of collecting them.
     """
+    cap = MAX_STRATA if max_strata is None else max_strata
     domain = [
         r[0]
         for r in docs.select(strata_col).distinct()
-        .limit(MAX_STRATA + 1).collect()
+        .limit(cap + 1).collect()
     ]
-    if len(domain) > MAX_STRATA:
+    if len(domain) > cap:
         raise ValueError(
             f"stratified_sample: column {strata_col!r} has more than "
-            f"{MAX_STRATA} distinct values — not a stratification "
+            f"{cap} distinct values — not a stratification "
             "column; pick a bounded-cardinality key (language, domain, "
             "source) or pre-bucket it"
         )

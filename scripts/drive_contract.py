@@ -347,6 +347,15 @@ def run(keys=None, sf_dir=None, spark=None, oracle_overrides=None,
     oracles = dict(E.oracle_sql())
     oracles.update(oracle_overrides or {})
     todo = keys or list(qs)
+    # a checksum key without an oracle would silently fall through to
+    # the FULL path — sdf.collect() before the rows-only check, i.e.
+    # the 10M-60M-row driver collect checksum mode exists to avoid
+    # (ADVICE r11). Fail loudly instead.
+    orphan_ck = set(checksum_keys) & set(todo) - set(oracles)
+    if orphan_ck:
+        raise ValueError(
+            f"checksum_keys without an oracle (would fall through to a "
+            f"full driver collect): {sorted(orphan_ck)}")
     n_match = n_mismatch = n_err = n_rowsonly = 0
     for k in todo:
         try:
@@ -354,12 +363,22 @@ def run(keys=None, sf_dir=None, spark=None, oracle_overrides=None,
             if k in checksum_keys and k in oracles:
                 sn, sh1, sh2 = spark_checksum(sdf)
                 on, oh1, oh2 = duck_checksum(con, oracles[k])
-                if (sn, sh1, sh2) == (on, oh1, oh2):
+                # the fold walks cells in sorted-COLUMN-NAME order but
+                # never hashes the names themselves — compare them
+                # explicitly so a renamed column can't pass (ADVICE r11)
+                ocols_ck = [d[0] for d in con.execute(
+                    f"DESCRIBE SELECT * FROM ({oracles[k]}) _q").fetchall()]
+                ck_cols_ok = sorted(sdf.columns) == sorted(ocols_ck)
+                if (sn, sh1, sh2) == (on, oh1, oh2) and ck_cols_ok:
                     print(f"MATCH(ck) {k}: {sn} rows")
                     n_match += 1
                 else:
                     print(f"MISMATCH(ck) {k}: rows {sn}/{on} "
-                          f"h1 {sh1}/{oh1} h2 {sh2}/{oh2}")
+                          f"h1 {sh1}/{oh1} h2 {sh2}/{oh2} "
+                          f"cols_ok={ck_cols_ok}")
+                    if not ck_cols_ok:
+                        print(f"   spark cols: {sorted(sdf.columns)}")
+                        print(f"   duck  cols: {sorted(ocols_ck)}")
                     n_mismatch += 1
                 continue
             srows = sdf.collect()

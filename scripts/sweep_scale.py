@@ -116,18 +116,18 @@ CHECKSUM_100X: dict[str, int] = {
 }
 
 # Keys whose CROSS-CHECK (not the Spark plan) is infeasible at the
-# 100x blow-up — measured on a 125 GiB / 80 GiB-free box; every one
-# of them is hash-green at the ~sf1 sweep and (where in the 65-key
-# series) timed clean at 100x in BENCH_SCALE100.json.  Round 11
-# closed the r10 entries: the CC family moved to the union-find
-# oracle (CC_KEYS_100X), or_join_union re-entered the full set once
-# the blow-up's nation-key domain scaled with the data
-# (stress_scale v5), and dedup_graph_stats (no recursion in its
-# oracle — its r10 disk-fill was concurrent-shard pressure) re-ran
-# clean solo.
-ORACLE_INFEASIBLE_100X: dict[str, str] = {
-    "minhash_est_quality": "oracle exact-verify join spills >43GB",
-}
+# 100x blow-up.  EMPTY since round 12: the last entry
+# (minhash_est_quality, "oracle exact-verify join spills >43GB") was
+# closed by bounding the ORACLE's exact-Jaccard verify to candidate
+# docs — the same semi-join the Spark plan already applies, so the
+# output is value-identical (oracles.py).  Round 11 closed the r10
+# entries: the CC family moved to the union-find oracle
+# (CC_KEYS_100X), or_join_union re-entered the full set once the
+# blow-up's nation-key domain scaled with the data (stress_scale
+# v5), and dedup_graph_stats re-ran clean solo.  Kept as a dict so
+# the gate print and the keys filter stay honest if a future decade
+# ever needs an entry.
+ORACLE_INFEASIBLE_100X: dict[str, str] = {}
 
 # The CC family at 100x (VERDICT r10 #3): DuckDB computes the EDGES
 # independently (same pair SQL the green dedup_ngram oracle runs),

@@ -101,7 +101,10 @@ def test_overwrite_then_vacuum_reclaims_unreferenced(spark, table):
         [(10, "z", 1.0)], "id BIGINT, name STRING, bal DOUBLE"))
     assert _rows(table.read(), "id") == [(10,)]
     assert _rows(table.read(0), "id") == [(1,), (2,), (3,)]
-    removed = table.vacuum(keep_last=1)
+    # default retention refuses fresh dirs (in-flight-commit safety);
+    # retention 0 = caller asserts no writer is in flight
+    assert table.vacuum(keep_last=1) == []
+    removed = table.vacuum(keep_last=1, retention_seconds=0.0)
     assert len(removed) == 1  # v0's data dir is unreferenced by v1
     assert _rows(table.read(), "id") == [(10,)]  # survivor intact
     with pytest.raises(FileNotFoundError):
@@ -119,4 +122,100 @@ def test_failed_writer_leaves_no_visible_state(spark, tmp_path):
     t._write_data(df.withColumn("name", F.lit("ghost")), version=1)
     assert t.version() == 0
     assert _rows(t.read(), "name") == [("a",)]
-    assert t.vacuum(keep_last=1)  # orphan reclaimed
+    # the orphan is YOUNG: default retention protects it — it could
+    # be an in-flight commit about to publish (ADVICE r11)
+    assert t.vacuum(keep_last=1) == []
+    assert t.vacuum(keep_last=1, retention_seconds=0.0)  # reclaimed
+
+
+def test_merge_conflicts_instead_of_lost_update(spark, table, monkeypatch):
+    """ADVICE r11: snapshot and CAS must share ONE base version. A
+    concurrent commit landing between merge's snapshot and its
+    publish must raise CommitConflict — not be silently overwritten."""
+    other = AcidTable(spark, table.path)
+    orig = table._write_data
+    fired = {"n": 0}
+
+    def interleave(df, version):
+        if fired["n"] == 0:  # first write = the merge's own data dir
+            fired["n"] += 1
+            other.append(spark.createDataFrame(
+                [(100, "conc", 1.0)], "id BIGINT, name STRING, bal DOUBLE"))
+        return orig(df, version)
+
+    monkeypatch.setattr(table, "_write_data", interleave)
+    updates = spark.createDataFrame([(2, 99.0)], "id BIGINT, bal DOUBLE")
+    with pytest.raises(CommitConflict):
+        table.merge(updates, keys=["id"])
+    # the concurrent writer's row SURVIVED (nothing was lost)
+    assert (100,) in _rows(table.read(), "id")
+
+
+def test_with_retry_lands_both_writers(spark, table, monkeypatch):
+    """Bounded-retry commit helper: a writer that loses the CAS once
+    retries on a fresh snapshot and lands; both writers' rows end up
+    in the table."""
+    other = AcidTable(spark, table.path)
+    orig = table._write_data
+    fired = {"n": 0}
+
+    def interleave(df, version):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other.append(spark.createDataFrame(
+                [(200, "w1", 1.0)], "id BIGINT, name STRING, bal DOUBLE"))
+        return orig(df, version)
+
+    monkeypatch.setattr(table, "_write_data", interleave)
+    table.with_retry(lambda: table.append(spark.createDataFrame(
+        [(201, "w2", 2.0)], "id BIGINT, name STRING, bal DOUBLE")))
+    ids = [r[0] for r in _rows(table.read(), "id")]
+    assert 200 in ids and 201 in ids
+    assert table.version() == 2  # two commits, no lost update
+
+
+def test_stats_skip_dirs_on_filtered_read(spark, table):
+    """Phase-2 data skipping (VERDICT r11 #2): per-dir min/max stats
+    in the manifest prune whole directories on a filtered read, and
+    the pruned read returns exactly the filtered rows."""
+    table.append(spark.createDataFrame(
+        [(101, "x", 1.0), (102, "y", 2.0)],
+        "id BIGINT, name STRING, bal DOUBLE"))
+    table.append(spark.createDataFrame(
+        [(201, "z", 3.0)], "id BIGINT, name STRING, bal DOUBLE"))
+    m = table._manifest()
+    assert len(m["dirs"]) == 3 and all(
+        "id" in m["stats"][d] for d in m["dirs"])
+    # >= 201 keeps only the third dir
+    kept, skipped = table.prune_dirs(m, ("id", ">=", 201))
+    assert len(kept) == 1 and len(skipped) == 2
+    assert table.skipping_ratio(("id", ">=", 201)) == pytest.approx(2 / 3)
+    assert _rows(table.read(where=("id", ">=", 201)), "id") == [(201,)]
+    # equality predicate inside the middle dir's range
+    assert table.skipping_ratio(("id", "=", 102)) == pytest.approx(2 / 3)
+    assert _rows(table.read(where=("id", "=", 102)), "id") == [(102,)]
+    # string stats prune too
+    assert _rows(table.read(where=("name", ">=", "z")), "id") == [(201,)]
+    # a column with no stats in some dir is kept (correctness first)
+    assert table.skipping_ratio(("nope", "=", 1)) == 0.0
+
+
+def test_optimize_bin_packs_small_dirs(spark, table):
+    """Phase-3 compaction (VERDICT r11 #3): optimize() rewrites the
+    small dirs into one, reads stay row-identical, and vacuum
+    reclaims the packed originals."""
+    for i in range(3):
+        table.append(spark.createDataFrame(
+            [(10 + i, "s", float(i))], "id BIGINT, name STRING, bal DOUBLE"))
+    before = _rows(table.read(), "id", "name", "bal")
+    v = table.optimize()  # everything here is tiny -> one packed dir
+    assert v == table.version() == 4
+    m = table._manifest()
+    assert len(m["dirs"]) == 1 and m["operation"] == "optimize"
+    assert _rows(table.read(), "id", "name", "bal") == before
+    # packed dir carries fresh stats; originals reclaimable
+    assert "id" in m["stats"][m["dirs"][0]]
+    assert len(table.vacuum(keep_last=1, retention_seconds=0.0)) == 4
+    assert _rows(table.read(), "id", "name", "bal") == before
+    # idempotent: a second optimize with one dir is a no-op version
+    assert table.optimize() == 4

@@ -111,15 +111,38 @@ def test_checksum_empty_result_is_zero_not_null(spark):
         con, "SELECT 1 AS k WHERE false") == (0, 0, 0)
 
 
-def test_checksum_column_order_insensitive_but_name_sensitive(spark):
+def test_checksum_column_order_insensitive_name_check_in_run(spark):
     """Columns are folded in sorted-name order (the driver's canon),
-    so SELECT a,b vs b,a agree while a renamed column does not."""
+    so SELECT a,b vs b,a agree.  The FOLD itself never hashes column
+    NAMES — a renamed sort-order-preserving column yields the same
+    triple (asserted below) — which is exactly why run()'s checksum
+    branch compares sorted names explicitly (ADVICE r11)."""
     con = duckdb.connect()
     ab = drive_contract.duck_checksum(con, "SELECT 1 AS a, 'x' AS b")
     ba = drive_contract.duck_checksum(con, "SELECT 'x' AS b, 1 AS a")
     assert ab == ba
     sdf = spark.sql("SELECT 'x' AS b, 1 AS a")
     assert drive_contract.spark_checksum(sdf) == ab
+    # name-blindness of the fold, pinned: rename that preserves sort
+    # order ('a','b' -> 'a','c') leaves the triple unchanged
+    ac = drive_contract.duck_checksum(con, "SELECT 1 AS a, 'x' AS c")
+    assert ac == ab
+
+
+def test_run_rejects_checksum_key_without_oracle(spark, monkeypatch):
+    """A checksum key with no oracle must fail LOUDLY instead of
+    falling through to the full driver collect (ADVICE r11): at 100x
+    that silent fallback is a 10M-60M-row collect."""
+    import pytest
+
+    monkeypatch.setattr(drive_contract.E, "entry",
+                        lambda s: s.sql("SELECT 1 AS x"))
+    monkeypatch.setattr(drive_contract.E, "queries",
+                        lambda: {"k": lambda s, d: s.sql("SELECT 1 AS x")})
+    monkeypatch.setattr(drive_contract.E, "oracle_sql", lambda: {})
+    with pytest.raises(ValueError, match="checksum_keys without an oracle"):
+        drive_contract.run(keys=["k"], sf_dir="/root/testdata/sf0.001",
+                           spark=spark, checksum_keys={"k"})
 
 
 # ------------------------------------------------------------------ #
@@ -182,3 +205,8 @@ def test_stratified_sample_caps_unbounded_strata(spark, monkeypatch):
     monkeypatch.setattr(clean, "MAX_STRATA", 10)
     with pytest.raises(ValueError, match="distinct values"):
         clean.stratified_sample(docs, "stratum", {})
+    # per-call override (ADVICE r11): kwarg beats the module constant
+    assert clean.stratified_sample(
+        docs, "stratum", {}, max_strata=50).count() == 50
+    with pytest.raises(ValueError, match="more than 5 distinct"):
+        clean.stratified_sample(docs, "stratum", {}, max_strata=5)

@@ -355,6 +355,37 @@ def test_foreach_batch_idempotent_sink(spark, events_stream_dir, tmp_path):
     assert got == expect
 
 
+def test_foreach_batch_exactly_once_acid_sink(spark, events_stream_dir,
+                                              tmp_path):
+    """VERDICT r11 #4 — streaming exactly-once onto the ACID table:
+    foreachBatch commits each micro-batch as one AcidTable version
+    carrying (stream_id, batch_id); replaying the WHOLE stream against
+    a FRESH checkpoint re-delivers every batch id and the sink no-ops
+    each one — same version count, same rows, no duplicates from an
+    at-least-once transport."""
+    from mini_sql_engine_spark.sources.acid import AcidTable
+
+    src = _batch_events(spark, events_stream_dir).select(
+        "event_id", "user_id")
+    table = AcidTable.create(spark, str(tmp_path / "acid"), src.limit(0))
+    stream = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    jobs.run_foreach_batch(
+        stream.select("event_id", "user_id"),
+        table.streaming_sink("evq"), str(tmp_path / "ckpt1"))
+    v1 = table.version()
+    assert v1 >= 2  # several micro-batches each committed a version
+    rows1 = sorted(map(tuple, table.read().collect()))
+    assert rows1 == sorted(map(tuple, src.collect()))
+    # full replay (fresh checkpoint = at-least-once redelivery of
+    # every batch): the log already records each batch_id -> no-ops
+    stream2 = jobs.stream_events(spark, events_stream_dir, max_files=2)
+    jobs.run_foreach_batch(
+        stream2.select("event_id", "user_id"),
+        table.streaming_sink("evq"), str(tmp_path / "ckpt2"))
+    assert table.version() == v1
+    assert sorted(map(tuple, table.read().collect())) == rows1
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """The documented late-data policy, pinned: once the watermark has
     passed a window's end and its state is evicted (the micro-batch
