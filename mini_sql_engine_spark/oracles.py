@@ -3271,7 +3271,12 @@ WITH toks AS (
          list_filter(string_split(text, ' '), t -> t <> '') AS w
   FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id,
+  -- NO DISTINCT here, deliberately: this sh only feeds sig's min()
+  -- aggregate, which is idempotent over duplicate shingles — and the
+  -- all-docs hash-DISTINCT was the 100x blow-up's largest spill
+  -- contributor (60+ GB). Set semantics live in shc below, which is
+  -- candidate-bounded.
+  SELECT doc_id,
          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM (SELECT doc_id, w,
                unnest(generate_series(1, len(w) - 2)) AS i
@@ -3313,7 +3318,17 @@ sig AS (
   -- self-join spilled >43 GB there; VERDICT r11 #1)
   SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand
 ), shc AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs USING (doc_id)
+  -- candidate-doc shingles REDERIVED from documents rather than
+  -- reusing sh/toks: keeps both single-referenced so DuckDB streams
+  -- them into sig instead of materializing the all-docs shingle set
+  -- (measured 58+ GB of spill at 100x when sh was referenced twice)
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM (SELECT d.doc_id,
+                     list_filter(string_split(d.text, ' '),
+                                 t -> t <> '') AS w
+              FROM documents d JOIN cdocs USING (doc_id))
+        WHERE len(w) >= 3)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM shc GROUP BY 1
 ), common AS (
