@@ -219,3 +219,47 @@ def test_optimize_bin_packs_small_dirs(spark, table):
     assert _rows(table.read(), "id", "name", "bal") == before
     # idempotent: a second optimize with one dir is a no-op version
     assert table.optimize() == 4
+
+
+def test_optimize_carries_large_dirs_by_reference(spark, tmp_path):
+    """Dirs at/above the small_bytes threshold are NOT rewritten:
+    they stay in the manifest by reference, with their stats."""
+    import pyspark.sql.functions as SF
+
+    big_df = spark.range(20000).select(
+        SF.col("id"), SF.concat(SF.lit("n"), SF.col("id")).alias("name"),
+        (SF.col("id") * 1.5).alias("bal")).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t4"), big_df)
+    t.append(spark.createDataFrame(
+        [(50000, "x", 5.0)], "id BIGINT, name STRING, bal DOUBLE"))
+    t.append(spark.createDataFrame(
+        [(50001, "y", 6.0)], "id BIGINT, name STRING, bal DOUBLE"))
+    m_before = t._manifest()
+    big = m_before["dirs"][0]  # v0's 20k-row dir
+    before = _rows(t.read(), "id", "name", "bal")
+    # threshold between v0's dir size and the 1-row appends
+    cut = table_cut = t._dir_bytes(big)
+    assert all(t._dir_bytes(d) < table_cut for d in m_before["dirs"][1:])
+    v = t.optimize(small_bytes=cut)
+    m = t._manifest(v)
+    assert big in m["dirs"] and len(m["dirs"]) == 2  # big + one packed
+    assert m["stats"][big] == m_before["stats"][big]  # stats carried
+    assert _rows(t.read(), "id", "name", "bal") == before
+
+
+def test_data_skipping_null_and_statless_columns_safe(spark, tmp_path):
+    """Stats never make a read WRONG: an all-NULL column yields no
+    stats for its dir (min/max are NULL) so the dir is kept, and the
+    row filter still applies — NULLs never match a comparison."""
+    df1 = spark.createDataFrame(
+        [(1, None), (2, None)], "id BIGINT, score DOUBLE")
+    t = AcidTable.create(spark, str(tmp_path / "t3"), df1)
+    t.append(spark.createDataFrame(
+        [(3, 7.5)], "id BIGINT, score DOUBLE"))
+    m = t._manifest()
+    assert "score" not in m["stats"][m["dirs"][0]]  # all-NULL: dropped
+    assert "score" in m["stats"][m["dirs"][1]]
+    # dir 0 has no score stats -> kept; its NULL rows filtered out
+    assert _rows(t.read(where=("score", ">", 5.0)), "id") == [(3,)]
+    assert t.skipping_ratio(("score", ">", 5.0)) == 0.0  # kept both
+    assert _rows(t.read(where=("score", "<", 5.0)), "id") == []
