@@ -70,6 +70,16 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated QOI: missing end marker")
 
     n_px = width * height
+    # plausibility guard BEFORE allocating: one op byte decodes at
+    # most 62 pixels (QOI_OP_RUN), so a crafted header claiming huge
+    # dimensions over a tiny op stream must be rejected rather than
+    # attempting a multi-exabyte bytearray in the worker
+    max_px = (len(data) - 14 - 8) * 62
+    if n_px > max_px:
+        raise ValueError(
+            f"QOI dimensions implausible: {width}x{height} needs "
+            f"{n_px} pixels but the op stream can encode at most "
+            f"{max_px}")
     out = bytearray(n_px * channels)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255
@@ -80,10 +90,17 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated QOI: op stream ended early")
         byte = data[pos]
         pos += 1
+        # operand reads are bounds-checked against the op-stream end:
+        # without this a truncated stream silently decodes end-marker
+        # zero bytes as pixel samples instead of raising
         if byte == _OP_RGB:
+            if pos + 3 > end:
+                raise ValueError("truncated QOI: RGB op cut short")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif byte == _OP_RGBA:
+            if pos + 4 > end:
+                raise ValueError("truncated QOI: RGBA op cut short")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         else:
@@ -95,6 +112,8 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, bytes]:
                 g = (g + ((byte >> 2) & 0x03) - 2) & 0xFF
                 b = (b + (byte & 0x03) - 2) & 0xFF
             elif tag == _OP_LUMA:
+                if pos >= end:
+                    raise ValueError("truncated QOI: LUMA op cut short")
                 dg = (byte & 0x3F) - 32
                 second = data[pos]
                 pos += 1

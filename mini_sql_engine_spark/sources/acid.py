@@ -102,11 +102,15 @@ def _now_iso() -> str:
     return datetime.now(timezone.utc).isoformat(timespec="seconds")
 
 
-def _json_stat(v):
+def _json_stat(v, widen: int = 0):
     """Render one min/max cell JSON-portable, or None to drop it.
     Comparisons stay order-faithful per type: numbers stay numbers,
     dates/timestamps become ISO strings (lexicographic == temporal
-    order), Decimals become floats (approximate but monotone)."""
+    order). Decimal→float is lossy, so STAT cells are widened OUTWARD
+    (``widen=-1`` for the min, ``+1`` for the max, a few ulps) — a
+    rounded-inward bound would let a strict-inequality predicate
+    prune a directory that contains matching rows; Delta floors/ceils
+    lossy stats for the same reason."""
     if v is None:
         return None
     if isinstance(v, bool):
@@ -114,7 +118,11 @@ def _json_stat(v):
     if isinstance(v, (int, float)):
         return None if isinstance(v, float) and math.isnan(v) else v
     if isinstance(v, Decimal):
-        return float(v)
+        f = float(v)
+        target = -math.inf if widen < 0 else math.inf
+        for _ in range(4 if widen else 0):
+            f = math.nextafter(f, target)
+        return f
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, str):
@@ -126,6 +134,31 @@ def _stat_key(v):
     """Normalize a predicate literal the same way stats cells were
     normalized, so pruning compares like with like."""
     return _json_stat(v)
+
+
+def _stat_comparable(lo, key) -> bool:
+    """True only when a stats cell and a predicate key are safely
+    order-comparable. Mixed kinds (string stat vs numeric key) and —
+    crucially — temporal ISO strings of DIFFERENT shapes (a DATE key
+    '2026-08-16' against TIMESTAMP stats '2026-08-16T00:00:00', which
+    lexicographically sort the wrong way at equality boundaries) must
+    fall back to keeping the directory; the row filter stays correct
+    either way, pruning power is all that is lost."""
+    def _num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    if _num(lo) and _num(key):
+        return True
+    if isinstance(lo, bool) and isinstance(key, bool):
+        return True
+    if isinstance(lo, str) and isinstance(key, str):
+        def _temporalish(s):
+            return "T" in s or " " in s
+        return _temporalish(lo) == _temporalish(key)
+    return False
+
+
+_PRUNE_OPS = ("<", "<=", ">", ">=", "=")
 
 
 _SKIPPABLE = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -213,8 +246,8 @@ class AcidTable:
         row = part.agg(*aggs).collect()[0]
         out = {}
         for c in cols:
-            lo = _json_stat(row[f"_lo_{c}"])
-            hi = _json_stat(row[f"_hi_{c}"])
+            lo = _json_stat(row[f"_lo_{c}"], widen=-1)
+            hi = _json_stat(row[f"_hi_{c}"], widen=+1)
             if lo is not None and hi is not None:
                 out[c] = [lo, hi]
         return out
@@ -266,6 +299,10 @@ class AcidTable:
         full read; only the scan is smaller."""
         m = self._manifest(version)
         dirs = m["dirs"]
+        if where is not None and where[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"read: unsupported where-op {where[1]!r} — supported: "
+                f"{' '.join(_PRUNE_OPS)}")
         if where is not None:
             dirs, _ = self.prune_dirs(m, where)
         out = self._read_dirs(dirs, m["schema"])
@@ -300,6 +337,10 @@ class AcidTable:
         predicate ``(col, op, value)``. A dir with no stats for the
         column is always kept (correctness over pruning power)."""
         col, op, val = where
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"prune_dirs: unsupported op {op!r} — supported: "
+                f"{' '.join(_PRUNE_OPS)}")
         key = _stat_key(val)
         stats = manifest.get("stats", {})
         kept, skipped = [], []
@@ -309,6 +350,9 @@ class AcidTable:
                 kept.append(rel)
                 continue
             lo, hi = s
+            if not (_stat_comparable(lo, key) and _stat_comparable(hi, key)):
+                kept.append(rel)  # cross-kind compare: never prune
+                continue
             may = {"<": lo < key, "<=": lo <= key,
                    ">": hi > key, ">=": hi >= key,
                    "=": lo <= key <= hi}[op]
@@ -386,6 +430,10 @@ class AcidTable:
 
         >>> table.with_retry(lambda: table.merge(updates, ["id"]))
         """
+        if retries < 1:
+            raise ValueError(
+                f"with_retry: retries must be >= 1, got {retries} — "
+                "0 would silently skip the write")
         for attempt in range(retries):
             try:
                 return op()
@@ -399,17 +447,14 @@ class AcidTable:
     # ------------------------------------------------------------ #
 
     def _last_committed_batch(self, stream_id: str) -> int | None:
-        """Highest batch_id any retained manifest records for
-        ``stream_id`` (Delta's txn appId→version map, recovered by a
-        log scan instead of a checkpointed map — O(versions), which a
-        periodic ``vacuum(keep_last=…)`` keeps bounded)."""
-        best = None
-        for m in self.history():
-            if (m.get("stream_id") == stream_id
-                    and m.get("batch_id") is not None):
-                best = m["batch_id"] if best is None else max(
-                    best, m["batch_id"])
-        return best
+        """Highest batch_id ever committed for ``stream_id`` — read
+        from the LATEST manifest's ``streams`` map, which every
+        commit (streaming or not) carries forward from its parent
+        (Delta's txn appId→version map, kept in snapshot state). O(1),
+        and — unlike a log scan — it survives both vacuum truncating
+        old manifests and foreign commits landing on top of the
+        stream's versions."""
+        return self._manifest().get("streams", {}).get(stream_id)
 
     def streaming_sink(self, stream_id: str = "default"):
         """A ``foreachBatch``-shaped sink that appends each
@@ -456,16 +501,18 @@ class AcidTable:
         compacted originals. This is what keeps a streaming-ingested
         table from accumulating one tiny dir per micro-batch."""
         base = self._manifest()
-        small = [rel for rel in base["dirs"]
-                 if self._dir_bytes(rel) < small_bytes]
+        sizes = {rel: self._dir_bytes(rel) for rel in base["dirs"]}
+        small = [rel for rel, n in sizes.items() if n < small_bytes]
         if len(small) <= 1:
             return base["version"]  # nothing to pack
-        big = [rel for rel in base["dirs"] if rel not in set(small)]
+        small_set = set(small)
+        big = [rel for rel in base["dirs"] if rel not in small_set]
+        big_set = set(big)
         packed = self._read_dirs(small, base["schema"])
-        total = sum(self._dir_bytes(rel) for rel in small)
+        total = sum(sizes[rel] for rel in small)
         packed = packed.coalesce(max(1, -(-total // small_bytes)))
         carried = {rel: s for rel, s in base.get("stats", {}).items()
-                   if rel in set(big)}
+                   if rel in big_set}
         return self._commit_with_schema(
             packed, "optimize", base["version"] + 1, big,
             base["schema"], carried_stats=carried)
@@ -543,9 +590,20 @@ class AcidTable:
                             carried_stats: dict | None = None) -> int:
         new_rel = self._write_data(df, version)
         all_dirs = list(dirs) + [new_rel]
+        keep = set(dirs)
         stats = {rel: s for rel, s in (carried_stats or {}).items()
-                 if rel in set(dirs)}
+                 if rel in keep}
         stats[new_rel] = self._dir_stats(new_rel)
+        # per-stream batch high-water marks ride EVERY manifest so the
+        # latest one always answers the exactly-once replay check —
+        # vacuum-proof and foreign-commit-proof (the parent manifest
+        # is always retained, so this read cannot miss)
+        streams: dict = {}
+        if version > 0:
+            streams = dict(self._manifest(version - 1).get("streams", {}))
+        if extra and "stream_id" in extra and "batch_id" in extra:
+            sid, bid = extra["stream_id"], int(extra["batch_id"])
+            streams[sid] = max(streams.get(sid, -1), bid)
         manifest = {
             "version": version,
             "parent": version - 1 if version else None,
@@ -554,6 +612,7 @@ class AcidTable:
             "schema": schema_json,
             "dirs": all_dirs,
             "stats": stats,
+            "streams": streams,
             **(extra or {}),
         }
         self._publish(manifest)

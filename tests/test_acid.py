@@ -263,3 +263,80 @@ def test_data_skipping_null_and_statless_columns_safe(spark, tmp_path):
     assert _rows(t.read(where=("score", ">", 5.0)), "id") == [(3,)]
     assert t.skipping_ratio(("score", ">", 5.0)) == 0.0  # kept both
     assert _rows(t.read(where=("score", "<", 5.0)), "id") == []
+
+
+def test_streaming_idempotence_survives_vacuum_and_foreign_commits(
+        spark, tmp_path):
+    """The per-stream high-water mark rides EVERY manifest, so replay
+    detection survives vacuum truncating old manifests and foreign
+    commits landing between micro-batches (code-review r12)."""
+    df = spark.createDataFrame([(1, "a")], "id BIGINT, name STRING")
+    t = AcidTable.create(spark, str(tmp_path / "t5"), df.limit(0))
+    sink = t.streaming_sink("s1")
+    sink(df, 0)
+    sink(spark.createDataFrame([(2, "b")], "id BIGINT, name STRING"), 1)
+    # foreign commit (no batch_id) then vacuum away the stream's own
+    # manifests — only the latest (foreign) manifest remains
+    t.append(spark.createDataFrame([(9, "f")], "id BIGINT, name STRING"))
+    t.vacuum(keep_last=1, retention_seconds=0.0)
+    v = t.version()
+    rows = _rows(t.read(), "id")
+    # replayed batches are STILL no-ops
+    sink(df, 0)
+    sink(spark.createDataFrame([(2, "b")], "id BIGINT, name STRING"), 1)
+    assert t.version() == v and _rows(t.read(), "id") == rows
+    # a genuinely new batch commits normally
+    sink(spark.createDataFrame([(3, "c")], "id BIGINT, name STRING"), 2)
+    assert t.version() == v + 1
+    assert (3,) in _rows(t.read(), "id")
+
+
+def test_prune_never_crosses_temporal_shapes(spark, tmp_path):
+    """A DATE-shaped predicate key against TIMESTAMP-shaped stats must
+    NOT prune (ISO strings of different shapes mis-order at equality
+    boundaries); the read stays row-identical to the unpruned filter
+    (code-review r12)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 8, 16, 0, 0, 0)),
+         (2, dt.datetime(2026, 8, 17, 12, 0, 0))],
+        "id BIGINT, ts TIMESTAMP")
+    t = AcidTable.create(spark, str(tmp_path / "t6"), df)
+    m = t._manifest()
+    assert "ts" in m["stats"][m["dirs"][0]]  # timestamp stats exist
+    key = dt.date(2026, 8, 16)
+    # date key vs timestamp stats: cross-shape -> keep (no prune)
+    assert t.skipping_ratio(("ts", "=", key)) == 0.0
+    got = _rows(t.read(where=("ts", "=", key)), "id")
+    expect = _rows(t.read().filter(F.col("ts") == F.lit(key)), "id")
+    assert got == expect == [(1,)]
+    # same-shape timestamp key still prunes correctly
+    assert _rows(t.read(
+        where=("ts", ">=", dt.datetime(2026, 8, 17, 0, 0, 0))),
+        "id") == [(2,)]
+
+
+def test_decimal_stats_widen_outward(spark, tmp_path):
+    """DECIMAL stats are float-lossy; they widen OUTWARD so a strict
+    inequality at a rounded boundary cannot prune a dir holding
+    matching rows (code-review r12)."""
+    from decimal import Decimal as D
+
+    df = spark.createDataFrame(
+        [(1, D("1.00000000000000000001"))],
+        "id BIGINT, d DECIMAL(38,20)")
+    t = AcidTable.create(spark, str(tmp_path / "t7"), df)
+    # float(1.00000000000000000001) == 1.0 exactly; unwidened stats
+    # would prune on d > 1
+    assert _rows(t.read(where=("d", ">", D("1"))), "id") == [(1,)]
+    assert t.skipping_ratio(("d", ">", D("1"))) == 0.0
+
+
+def test_guards_reject_bad_retry_and_bad_op(spark, table):
+    with pytest.raises(ValueError, match="retries must be >= 1"):
+        table.with_retry(lambda: None, retries=0)
+    with pytest.raises(ValueError, match="unsupported where-op"):
+        table.read(where=("id", "!=", 1))
+    with pytest.raises(ValueError, match="unsupported op"):
+        table.prune_dirs(table._manifest(), ("id", "=>", 1))

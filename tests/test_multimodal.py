@@ -291,3 +291,25 @@ def test_decode_image_dispatches_qoi():
     assert MM.decode_image(data) == (6, 4, 3, pix)
     png_data = png.encode_png(6, 4, 3, pix)
     assert MM.decode_image(png_data) == (6, 4, 3, pix)
+
+
+def test_qoi_rejects_implausible_dims_and_truncated_ops():
+    """Hardening (code-review r12): a crafted header claiming huge
+    dimensions over a tiny op stream must raise before allocating,
+    and truncated operand bytes must raise instead of silently
+    decoding end-marker zeros as pixels."""
+    import struct
+
+    huge = (b"qoif" + struct.pack(">IIBB", 0xFFFFFFFF, 0xFFFFFFFF, 3, 0)
+            + b"\x00" * 7 + b"\x01")
+    with pytest.raises(ValueError, match="implausible"):
+        qoi.decode_qoi(huge)
+    # 1x1 image whose only op is an RGB tag with no operand bytes
+    cut = (b"qoif" + struct.pack(">IIBB", 1, 1, 3, 0)
+           + b"\xfe" + b"\x00" * 7 + b"\x01")
+    with pytest.raises(ValueError, match="RGB op cut short"):
+        qoi.decode_qoi(cut)
+    cut_luma = (b"qoif" + struct.pack(">IIBB", 1, 1, 3, 0)
+                + b"\x80" + b"\x00" * 7 + b"\x01")
+    with pytest.raises(ValueError, match="LUMA op cut short"):
+        qoi.decode_qoi(cut_luma)
