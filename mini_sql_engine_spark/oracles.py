@@ -795,6 +795,15 @@ SELECT l_returnflag, count(*) AS n_rows,
 FROM lineitem GROUP BY l_returnflag
 """
 
+ORACLES["pq_encode"] = """
+SELECT vec_id,
+       CAST(8 AS BIGINT) AS n_codes,
+       TRUE AS codes_in_range,
+       TRUE AS err_match,
+       TRUE AS err_le_code0
+FROM embeddings
+"""
+
 ORACLES["winsorize_approx"] = """
 SELECT l_returnflag, count(*) AS n_rows,
        CAST(1 AS BIGINT) AS ok_lo,

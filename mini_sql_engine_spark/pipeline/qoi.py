@@ -122,6 +122,14 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, bytes]:
                 b = (b + dg + (second & 0x0F) - 8) & 0xFF
             else:  # _OP_RUN
                 run = (byte & 0x3F) + 1
+                # the reference decoder stores index[hash(px)] for a
+                # RUN chunk too (qoi.h keeps the store outside the op
+                # dispatch) — matters for the implicit first pixel
+                # (0,0,0,255), which a foreign encoder may legally
+                # reference via QOI_OP_INDEX 53 after an opening run
+                # (ADVICE r12); all run pixels are identical, so one
+                # store is the loop's fixed point
+                index[_hash(r, g, b, a)] = (r, g, b, a)
                 for _ in range(run):
                     if px >= n_px:
                         raise ValueError("QOI run overflows pixel count")
@@ -132,7 +140,7 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, bytes]:
                     if channels == 4:
                         out[o + 3] = a
                     px += 1
-                continue  # run does not re-store the index slot
+                continue  # index already stored above; skip px emit
         index[_hash(r, g, b, a)] = (r, g, b, a)
         o = px * channels
         out[o] = r

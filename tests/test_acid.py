@@ -340,3 +340,154 @@ def test_guards_reject_bad_retry_and_bad_op(spark, table):
         table.read(where=("id", "!=", 1))
     with pytest.raises(ValueError, match="unsupported op"):
         table.prune_dirs(table._manifest(), ("id", "=>", 1))
+
+
+# ──────────────── round-13 hardening (VERDICT/ADVICE r12) ────────────────
+
+
+def _n_scans(df):
+    """Parquet relation (scan) nodes in the optimized logical plan."""
+    return df._jdf.queryExecution().optimizedPlan().toString().count(
+        "Relation")
+
+
+def test_read_plan_scan_nodes_stay_bounded_after_many_stream_commits(
+        spark, tmp_path):
+    """VERDICT r12 #2: sustained streaming ingest (one data dir per
+    micro-batch) must NOT grow the read plan — dirs of one schema
+    generation are read with ONE multi-path parquet scan, so after 50
+    micro-batch commits the plan still holds a single relation node
+    (the old per-dir unionByName fold built 50)."""
+    t = AcidTable.create(spark, str(tmp_path / "t8"), spark.createDataFrame(
+        [(0, 0.0)], "id BIGINT, v DOUBLE"))
+    sink = t.streaming_sink("s")
+    for i in range(1, 51):
+        sink(spark.createDataFrame([(i, float(i))],
+                                   "id BIGINT, v DOUBLE"), i)
+    assert t.version() == 50
+    assert len(t._manifest()["dirs"]) == 51
+    out = t.read()
+    assert _n_scans(out) == 1
+    assert out.count() == 51
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(51))
+    # a pruned read keeps the bound too
+    assert _n_scans(t.read(where=("id", ">=", 25))) <= 1
+
+
+def test_schema_generations_bound_plan_after_evolution(spark, tmp_path):
+    """Schema evolution adds exactly one generation (one extra scan
+    node), never one per commit; old rows pad NULL for new columns."""
+    t = AcidTable.create(spark, str(tmp_path / "t9"), spark.createDataFrame(
+        [(1, "a")], "id BIGINT, name STRING"))
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i, "x")],
+                                       "id BIGINT, name STRING"))
+    t.append(spark.createDataFrame(
+        [(6, "w", 9.5)], "id BIGINT, name STRING, score DOUBLE"))
+    t.append(spark.createDataFrame(
+        [(7, "z", 1.5)], "id BIGINT, name STRING, score DOUBLE"))
+    m = t._manifest()
+    assert len(m["dirs"]) == 7
+    assert len(m["schema_gens"]) == 2
+    out = t.read()
+    assert _n_scans(out) == 2
+    got = {r["id"]: r["score"] for r in out.collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None, 5: None,
+                   6: 9.5, 7: 1.5}
+
+
+def test_zorder_optimize_improves_multi_column_skipping(spark, tmp_path):
+    """VERDICT r12 #3: ``optimize(zorder_by=[x, y])`` rewrites the
+    snapshot along the Morton curve into slice dirs whose manifest
+    stats are tight on BOTH columns — ``skipping_ratio`` strictly
+    improves for predicates on either column, rows stay identical,
+    and vacuum keeps the (prefix-referenced) slice dirs alive."""
+    rows = [(i, i % 64, (i // 64) % 32, float(i)) for i in range(2048)]
+    schema = "id BIGINT, x BIGINT, y BIGINT, v DOUBLE"
+    t = AcidTable.create(spark, str(tmp_path / "t10"),
+                         spark.createDataFrame(rows[:512], schema))
+    for lo in (512, 1024, 1536):
+        t.append(spark.createDataFrame(rows[lo:lo + 512], schema))
+    before = _rows(t.read(), "id", "x", "y", "v")
+    # every dir spans the full x range -> nothing skippable
+    assert t.skipping_ratio(("x", "<=", 7)) == 0.0
+    v = t.optimize(zorder_by=["x", "y"], n_slices=8)
+    assert t._manifest()["operation"] == "optimize-zorder"
+    assert t.version() == v
+    after = _rows(t.read(), "id", "x", "y", "v")
+    assert after == before
+    rx = t.skipping_ratio(("x", "<=", 7))
+    ry = t.skipping_ratio(("y", "<=", 3))
+    assert rx > 0.0, "z-order gave no skipping on x"
+    assert ry > 0.0, "z-order gave no skipping on y"
+    # pruned read == full filter, row for row
+    assert _rows(t.read(where=("x", "<=", 7)), "id") == _rows(
+        t.read().filter(F.col("x") <= 7), "id")
+    # vacuum must treat prefix-referenced slice dirs as live
+    t.vacuum(keep_last=1, retention_seconds=0.0)
+    assert _rows(t.read(), "id", "x", "y", "v") == before
+
+
+def test_stream_rebatch_fresh_checkpoint_contract(spark, tmp_path):
+    """VERDICT r12 #5, pinned: a fresh-checkpoint re-run that
+    RE-BATCHES the source under different trigger sizing is treated
+    as replay — batch_ids at or below the high-water mark are skipped
+    wholesale (rows never duplicate, rows that moved into a lower
+    batch_id are not re-appended). A NEW stream_id re-delivers."""
+    t = AcidTable.create(spark, str(tmp_path / "t11"),
+                         spark.createDataFrame([(0,)], "id BIGINT"))
+    sink = t.streaming_sink("app-1")
+    b0 = spark.createDataFrame([(1,), (2,)], "id BIGINT")
+    b1 = spark.createDataFrame([(3,)], "id BIGINT")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert _rows(t.read(), "id") == [(0,), (1,), (2,), (3,)]
+    # fresh checkpoint, coarser batching: all four rows land in batch 0
+    replay = t.streaming_sink("app-1")
+    replay(b0.union(b1), 0)
+    assert _rows(t.read(), "id") == [(0,), (1,), (2,), (3,)]
+    # same data under a NEW stream_id is a new app: it appends
+    t.streaming_sink("app-2")(spark.createDataFrame([(9,)], "id BIGINT"), 0)
+    assert _rows(t.read(), "id") == [(0,), (1,), (2,), (3,), (9,)]
+
+
+def test_dotted_column_names_commit_and_read(spark, tmp_path):
+    """ADVICE r12: a legal top-level column named with a dot must not
+    be parsed as a nested-field reference by the stats step — commits
+    succeed, stats are recorded, reads round-trip."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("a.b", T.DoubleType())])
+    t = AcidTable.create(spark, str(tmp_path / "t12"),
+                         spark.createDataFrame([(1, 1.5)], schema))
+    t.append(spark.createDataFrame([(2, 2.5)], schema))
+    m = t._manifest()
+    assert all("a.b" in m["stats"][rel] for rel in m["dirs"])
+    got = sorted((r["id"], r["a.b"]) for r in t.read().collect())
+    assert got == [(1, 1.5), (2, 2.5)]
+
+
+def test_tz_offset_stat_keys_never_prune(spark, tmp_path):
+    """ADVICE r12: an offset-bearing ISO key ('…+02:00') against
+    naive timestamp stats compares timezone-blind lexicographically —
+    such pairs must be declared incomparable (dir kept)."""
+    from mini_sql_engine_spark.sources.acid import _stat_comparable
+
+    naive = "2026-08-16T10:00:00"
+    aware = "2026-08-16T10:00:00+02:00"
+    assert _stat_comparable(naive, naive)
+    assert not _stat_comparable(naive, aware)
+    assert not _stat_comparable(aware, naive)
+    # two aware strings may carry DIFFERENT offsets — also incomparable
+    assert not _stat_comparable(aware, "2026-08-16T09:00:00+01:00")
+    assert _stat_comparable("2026-08-16", "2026-08-17")  # plain dates ok
+    # end-to-end: an aware key over naive stats keeps the dir
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 8, 16, 10, 0, 0))], "id BIGINT, ts TIMESTAMP")
+    t = AcidTable.create(spark, str(tmp_path / "t13"), df)
+    key = dt.datetime(2026, 8, 16, 23, 0, 0,
+                      tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    assert t.skipping_ratio(("ts", ">", key)) == 0.0

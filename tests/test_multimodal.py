@@ -273,6 +273,28 @@ def test_qoi_decode_independent_handbuilt_stream():
     assert got == expect
 
 
+def test_qoi_run_chunk_stores_index_slot():
+    """ADVICE r12: the reference decoder stores index[hash(px)] when
+    it processes a RUN chunk (qoi.h keeps the store outside the op
+    dispatch). A foreign encoder may therefore open with a run of
+    the implicit (0,0,0,255) pixel and later recall it via
+    QOI_OP_INDEX 53 — that must decode (0,0,0,255), not the empty
+    slot's (0,0,0,0)."""
+    import struct
+
+    h_implicit = (0 * 3 + 0 * 5 + 0 * 7 + 255 * 11) % 64  # = 53
+    ops = bytes((0xC0 | 0,          # RUN 1 of implicit (0,0,0,255)
+                 0xFE, 9, 9, 9,     # RGB (9,9,9) — overwrites px state
+                 0x00 | h_implicit  # INDEX 53 recalls (0,0,0,255)
+                 ))
+    data = (b"qoif" + struct.pack(">IIBB", 1, 3, 4, 0)
+            + ops + b"\x00" * 7 + b"\x01")
+    w, hh, c, pix = qoi.decode_qoi(data)
+    assert (w, hh, c) == (1, 3, 4)
+    got = [tuple(pix[i:i + 4]) for i in range(0, len(pix), 4)]
+    assert got == [(0, 0, 0, 255), (9, 9, 9, 255), (0, 0, 0, 255)]
+
+
 def test_qoi_rejects_malformed():
     with pytest.raises(ValueError, match="bad magic"):
         qoi.decode_qoi(b"nope")
