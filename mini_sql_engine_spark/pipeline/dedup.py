@@ -24,8 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mini_sql_engine_spark.functions.text import shingles, tokens
-from mini_sql_engine_spark.plans import materialized
+from mini_sql_engine_spark.functions.text import bind_once, shingles, tokens
+from mini_sql_engine_spark.plans import materialized, spread
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -47,10 +47,20 @@ def exact_dedup_counts(docs: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index input."""
-    return (
-        docs.select("doc_id", F.explode(shingles(tokens("text"), n)).alias("shingle"))
-        .distinct()
+    """(doc_id, shingle) distinct pairs — the inverted-index input.
+
+    The per-doc dedup happens IN THE ROW (``array_distinct`` before
+    ``explode``): doc_ids are unique, so the exploded pairs are
+    already globally distinct and the old explode-then-``.distinct()``
+    paid a full exchange + dedup of the largest intermediate in the
+    whole dedup stack for a set each row already knew (r13 opt:
+    one Exchange removed from every inverted-index consumer).
+    ``spread`` floors the scan parallelism so the shingle build
+    isn't serialized by a one-split input (no-op at scale)."""
+    return spread(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), n)))
+        .alias("shingle"),
     )
 
 
@@ -145,7 +155,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> Dat
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
     )
-    return docs.select("doc_id", F.when(F.size(sh) > 0, sig).alias("signature"))
+    return spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.when(F.size(sh) > 0, sig).alias("signature"))
 
 
 def minhash_band_hashes(
@@ -153,15 +164,22 @@ def minhash_band_hashes(
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) rows — the LSH bucket keys.
 
-    Plan: ONE keyed shuffle builds each doc's distinct shingle set
-    (``collect_set`` dedups map-side), then all ``num_hashes``
-    minhashes are a single per-row expression over that *data* array —
-    hashes computed exactly once, no seed×shingle row explosion. A
-    ``posexplode`` generator barrier hands (doc, seed, minh) rows to
-    the band aggregation; without the barrier Catalyst would re-inline
-    the signature expression into every band. Seed-row explosion
-    (seeds × shingles through a shuffle) measured 3× slower; nested
-    HOFs without barriers measured 30× slower at sf0.1.
+    Plan: the distinct shingle set is built IN THE ROW
+    (``array_distinct`` — r13 opt: the old explode + ``collect_set``
+    aggregate paid a full shuffle of every exploded shingle row to
+    rebuild a set each row already knew; zero exchanges remain before
+    the band aggregation), then all ``num_hashes`` minhashes are a
+    single per-row expression over that array — hashes computed
+    exactly once, no seed×shingle row explosion. ``bind_once`` +
+    the ``posexplode`` generator barrier keep the shingle array and
+    the signature evaluated once per row; without the barrier
+    Catalyst would re-inline the signature expression into every
+    band. Seed-row explosion (seeds × shingles through a shuffle)
+    measured 3× slower; nested HOFs without barriers measured 30×
+    slower at sf0.1. Docs with no shingles yield a NULL signature and
+    ``posexplode`` drops them — same semantics as the old aggregate
+    (they never produced a group). ``spread`` floors the scan
+    parallelism (no-op at scale).
 
     Per (doc, seed): minhash = min over shingles of xxhash64(shingle,
     seed); per (doc, band of r=num_hashes/bands seeds): band_hash =
@@ -170,18 +188,22 @@ def minhash_band_hashes(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sets = (
-        docs.select("doc_id",
-                    F.explode(shingles(tokens("text"), n)).alias("shingle"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))),
-    )
-    minhashes = sets.select(
-        "doc_id", F.posexplode(sig).alias("seed", "minh")
+    sh = F.array_distinct(shingles(tokens("text"), n))
+
+    def sigs(v):
+        return F.when(
+            F.size(v) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(v, lambda s: F.xxhash64(s, i))),
+            ),
+        )
+
+    minhashes = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", bind_once(sh, sigs).alias("sig"))
+        .select("doc_id", F.posexplode("sig").alias("seed", "minh"))
     )
     return (
         minhashes.withColumn("band_id", (F.col("seed") / r).cast("int"))
@@ -271,7 +293,8 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         """
     )
-    return docs.select("doc_id", fp.alias("simhash"))
+    return spread(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", fp.alias("simhash"))
 
 
 def hamming_pairs(sim: DataFrame, max_distance: int = 8) -> DataFrame:
@@ -339,10 +362,10 @@ def minhash_signatures_md5(
     Plan: the distinct shingle set is built in-row (``array_distinct``
     over a HOF — no shuffle), all ``num_hashes`` minima are one per-row
     expression evaluated ONCE behind a ``posexplode`` generator
-    barrier. The operator is shuffle-free.
+    barrier. The operator is shuffle-free; ``spread`` floors the scan
+    parallelism so the md5 kernel isn't serialized by a one-split
+    input (r13 opt — no-op at scale).
     """
-    from mini_sql_engine_spark.functions.text import bind_once
-
     sh = F.array_distinct(shingles(tokens("text"), n))
 
     def sigs(v: Column) -> Column:
@@ -367,7 +390,8 @@ def minhash_signatures_md5(
         )
 
     return (
-        docs.select("doc_id", bind_once(sh, sigs).alias("sigs"))
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", bind_once(sh, sigs).alias("sigs"))
         # posexplode is a generator barrier: the signature expression
         # runs once per row, not once per downstream column reference
         .select("doc_id", F.posexplode("sigs").alias("seed", "minhash"))
@@ -481,7 +505,7 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
     expansion, so unlike Jaccard pairs it needs no df cap to scale.
     """
     pairs = materialized(
-        docs.select(
+        spread(docs.select("doc_id", "text")).select(
             "doc_id",
             F.explode(
                 F.array_distinct(shingles(tokens("text"), n))
@@ -569,7 +593,7 @@ def prefix_filter_jaccard_pairs(
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrs = docs.select(
+    arrs = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.array_sort(F.array_distinct(shingles(tokens("text"), n)))
         .alias("_sh"),
@@ -655,7 +679,7 @@ def simhash_md5_chunks(docs: DataFrame, n: int = 3) -> DataFrame:
     ``aggregate`` passes over the shingle array) measured 17 s at
     sf0.1 vs seconds for this shape.
     """
-    ex = docs.select(
+    ex = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens("text"), n)))
         .alias("_s"),
@@ -665,12 +689,19 @@ def simhash_md5_chunks(docs: DataFrame, n: int = 3) -> DataFrame:
         a = F.ascii(F.substring("_h", pos, 1))
         return F.when(a <= 57, a - 48).otherwise(a - 87)
 
+    # r13 opt: project the 16 hex-digit values ONCE per exploded row,
+    # then feed the 64 vote sums cheap bitwise tests on those columns —
+    # the old form re-ran substring+ascii+CASE inside every one of the
+    # 64 aggregate inputs (4× redundant per digit, and aggregate-input
+    # expressions don't share subexpressions the way a projection does)
+    dig = ex.select(
+        "doc_id", *[digit(p).alias(f"_d{p}") for p in range(1, 17)])
     aggs = []
     for j in range(64):
         pos, shift = j // 4 + 1, 3 - j % 4
-        bit = (digit(pos).bitwiseAND(1 << shift) != 0).cast("int")
+        bit = (F.col(f"_d{pos}").bitwiseAND(1 << shift) != 0).cast("int")
         aggs.append(F.sum(bit * 2 - 1).alias(f"_v{j}"))
-    votes = ex.groupBy("doc_id").agg(*aggs)
+    votes = dig.groupBy("doc_id").agg(*aggs)
 
     cols = []
     for k in range(4):

@@ -33,6 +33,7 @@ from mini_sql_engine_spark.operators import (
     windows as W,
 )
 from mini_sql_engine_spark.operators import merge as MG
+from mini_sql_engine_spark import plans as PL
 from mini_sql_engine_spark.pipeline import clean as CL
 from mini_sql_engine_spark.pipeline import dedup as DD
 from mini_sql_engine_spark.pipeline import graph as GR
@@ -3123,7 +3124,11 @@ def lm_score(spark, sf_dir):
     smoothing needed, every doc bigram exists in the corpus). The
     count tables are vocabulary-sized → broadcast joins; per-doc
     mean rounded (libm + accumulation order, `entropy_agg`
-    discipline)."""
+    discipline). r13 opt note: measured face-off kept this original
+    shape — deriving c1 from c2, materializing c2, and spreading the
+    scan all landed within noise of the original (0.8–1.1 s at
+    sf0.1; the 931-bigram vocabulary makes every variant cheap), so
+    the simplest form stays."""
     d = Catalog(spark, sf_dir).table("documents")
     toks = F.split(F.col("text"), " ")
     bigrams = F.expr(
@@ -5825,9 +5830,15 @@ def score_calibration(spark, sf_dir):
     order-free."""
     scores = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
     keep = quality_gate(spark, sf_dir).select("doc_id", "keep")
-    j = scores.join(keep, "doc_id")
+    # r13 opt: the (doc_id, score, keep) frame is ~3 narrow columns per
+    # doc and fans out into the rank's two exchange branches plus the
+    # count — materialize it once instead of re-running the bigram LM
+    # per consumer; the count reads the materialized frame directly
+    # (with_rank attaches a position bijectively, so the row count is
+    # identical by construction)
+    j = PL.materialized(scores.join(keep, "doc_id"))
     ranked = SO.with_rank(j, "avg_logprob", "doc_id", alias="_pos")
-    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    n = j.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     return (
         ranked.crossJoin(F.broadcast(n))
         .withColumn("_dec", F.expr("(_pos - 1) * 10 div _n + 1"))
@@ -5915,7 +5926,9 @@ def char_entropy(spark, sf_dir):
     identical double (`kl_divergence` discipline: bounded term count
     per group, final round at 6)."""
     d = Catalog(spark, sf_dir).table("documents")
-    chars = d.select(
+    # r13 opt: `spread` floors the scan parallelism under the char
+    # explode (a one-split input serialized the whole generate+agg)
+    chars = PL.spread(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, length(text)), "
@@ -6181,7 +6194,10 @@ def score_auc(spark, sf_dir):
     engines with no rounding."""
     sc = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
     kp = quality_gate(spark, sf_dir).select("doc_id", "keep")
-    per = (
+    # r13 opt: the distinct-score table feeds the prefix-sum's two
+    # exchange branches (and the skinny join-back) — materialize once
+    # instead of re-running the bigram LM per branch
+    per = PL.materialized(
         sc.join(kp, "doc_id")
         .groupBy("avg_logprob")
         .agg(F.count_if(F.col("keep") == 1).alias("_np"),
@@ -6654,7 +6670,10 @@ def decile_lift(spark, sf_dir):
     the boundary sample — caught by the ~sf1 cross-engine sweep)."""
     sc = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
     kp = quality_gate(spark, sf_dir).select("doc_id", "keep")
-    j = sc.join(kp, "doc_id")
+    # r13 opt: materialize the narrow per-doc frame once — it feeds
+    # the rank's two exchange branches, the join-back, and the totals
+    # aggregate, each of which otherwise re-ran the bigram LM
+    j = PL.materialized(sc.join(kp, "doc_id"))
     ranked = SO.with_rank(j, "avg_logprob", "doc_id", alias="rn")
     n_df = j.agg(F.count(F.lit(1)).alias("_n"),
                  F.sum("keep").alias("_gk"))
@@ -7050,7 +7069,10 @@ def calibration_ece(spark, sf_dir):
     exact-sum divisions, nothing accumulation-ordered."""
     sc = lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
     kp = quality_gate(spark, sf_dir).select("doc_id", "keep")
-    j = sc.join(kp, "doc_id")
+    # r13 opt: the narrow per-doc frame feeds the min/max scalar AND
+    # the binning pass — materialize once instead of running the
+    # bigram LM twice
+    j = PL.materialized(sc.join(kp, "doc_id"))
     mm = j.agg(F.min("avg_logprob").alias("_mn"),
                F.max("avg_logprob").alias("_mx"))
     p_u = F.round(F.lit(1e6) * (F.col("avg_logprob") - F.col("_mn"))
@@ -7405,7 +7427,11 @@ def bootstrap_ci(spark, sf_dir):
     IEEE means; fan-out is a flat ×20 map — no shuffle growth."""
     o = Catalog(spark, sf_dir).table("orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    base = o.select(cents.alias("_c"), "o_orderkey").select(
+    # r13 opt: `spread` floors the scan parallelism under the ×20
+    # replicate fan-out (the md5 draw per (row, replicate) ran on the
+    # input's one scan split otherwise)
+    base = PL.spread(
+        o.select(cents.alias("_c"), "o_orderkey")).select(
         "_c", "o_orderkey",
         F.explode(F.sequence(F.lit(1), F.lit(20))).alias("_b"))
     h = F.substring(
