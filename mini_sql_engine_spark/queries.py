@@ -498,10 +498,19 @@ def percentiles(spark, sf_dir):
     (same groups, ±2 % certificate) — this form is the small-SF
     parity witness."""
     li = Catalog(spark, sf_dir).table("lineitem")
+    # r13 opt: one percentile buffer per column (array form) — the
+    # two scalar l_quantity calls buffered the group twice (the
+    # winsorize_approx-documented pattern); values are identical,
+    # each array element is the same interpolation over one sort
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("p50_qty"),
-        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9)))
+        .alias("_q"),
         F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+    ).select(
+        "l_returnflag",
+        F.col("_q")[0].alias("p50_qty"),
+        F.col("_q")[1].alias("p90_qty"),
+        "p50_price",
     )
 
 
@@ -519,12 +528,22 @@ def percentiles_approx(spark, sf_dir):
     certificate has wide margin at every SF."""
     li = Catalog(spark, sf_dir).table("lineitem")
     tol = 0.02
+    # r13 opt: ONE sketch buffer and ONE exact-percentile buffer per
+    # group (array forms) — the four scalar calls buffered the group
+    # four times over (the winsorize_approx-documented pattern);
+    # extracted values are identical
     agg = li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 10_000).alias("ap50"),
-        F.approx_percentile("l_extendedprice", 0.99, 10_000).alias("ap99"),
-        F.percentile("l_extendedprice", 0.5).alias("ex50"),
-        F.percentile("l_extendedprice", 0.99).alias("ex99"),
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)),
+            F.lit(10_000)).alias("_a"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)))
+        .alias("_e"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "l_returnflag", "n_rows",
+        F.col("_a")[0].alias("ap50"), F.col("_a")[1].alias("ap99"),
+        F.col("_e")[0].alias("ex50"), F.col("_e")[1].alias("ex99"),
     )
     within = lambda a, e: (F.abs(F.col(a) - F.col(e))  # noqa: E731
                            <= F.lit(tol) * F.abs(F.col(e)))
@@ -2841,9 +2860,13 @@ def winsorize(spark, sf_dir):
     form stays as the small-SF parity witness."""
     li = Catalog(spark, sf_dir).table("lineitem")
     xd = F.col("l_extendedprice").cast("double")
+    # r13 opt: one percentile buffer for both limits (array form —
+    # the winsorize_approx-documented pattern); values identical
     lim = li.groupBy("l_returnflag").agg(
-        F.percentile(xd, F.lit(0.01)).alias("lo"),
-        F.percentile(xd, F.lit(0.99)).alias("hi"),
+        F.percentile(xd, F.array(F.lit(0.01), F.lit(0.99))).alias("_l"),
+    ).select(
+        "l_returnflag",
+        F.col("_l")[0].alias("lo"), F.col("_l")[1].alias("hi"),
     )
     j = li.join(F.broadcast(lim), "l_returnflag")
     mid = F.when(
@@ -3257,15 +3280,19 @@ def bm25_score(spark, sf_dir):
     sum, rounded (libm ln + join-order accumulation). Returns ranked
     top-50 with doc_id tie-break."""
     d = Catalog(spark, sf_dir).table("documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r13 opt: document length is size(split(...)) IN THE ROW — the
+    # old explode + groupBy(doc_id) count shuffled every token row to
+    # rebuild a number each row already knew (one Generate + one
+    # Exchange removed; identical integers, split keeps empties in
+    # both forms)
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
     n_and_avgdl = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"))
     terms = ["table", "data", "row"]
     tf = (
-        toks.filter(F.col("w").isin(terms))
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(terms))
         .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -4314,14 +4341,20 @@ def rfm_quintiles(spark, sf_dir):
         F.datediff("_anchor", "_last").cast("long").alias("r_days"),
         "n_orders", "revenue")
 
+    # r13 opt: one percentile buffer per column (array form) instead
+    # of four scalar calls each (the winsorize_approx-documented
+    # pattern); extracted values are identical
+    qs = F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+
     def quints(col):
-        return [F.percentile(col, F.lit(q)).alias(f"{col}_q{i}")
-                for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)]
+        return F.percentile(col, qs).alias(f"_{col}_qs")
 
     th = base.select(
         F.col("r_days").alias("r"), F.col("n_orders").alias("f"),
         F.col("revenue").cast("double").alias("m"),
-    ).agg(*(quints("r") + quints("f") + quints("m")))
+    ).agg(quints("r"), quints("f"), quints("m")).select(
+        *[F.col(f"_{c}_qs")[i - 1].alias(f"{c}_q{i}")
+          for c in ("r", "f", "m") for i in (1, 2, 3, 4)])
 
     def rank_of(v, name, descending=False):
         expr = F.lit(1)
@@ -5962,10 +5995,16 @@ def iqr_scale(spark, sf_dir):
     pass is too wide."""
     li = Catalog(spark, sf_dir).table("lineitem")
     q = F.col("l_quantity").cast("double")
+    # r13 opt: one percentile buffer for all three quartiles (array
+    # form — the winsorize_approx-documented pattern)
     th = li.groupBy("l_returnflag").agg(
-        F.percentile(q, F.lit(0.25)).alias("_q1"),
-        F.percentile(q, F.lit(0.5)).alias("_med"),
-        F.percentile(q, F.lit(0.75)).alias("_q3"),
+        F.percentile(
+            q, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        .alias("_t"),
+    ).select(
+        "l_returnflag",
+        F.col("_t")[0].alias("_q1"), F.col("_t")[1].alias("_med"),
+        F.col("_t")[2].alias("_q3"),
     )
     scaled = F.when(
         F.col("_q3") != F.col("_q1"),
@@ -6774,13 +6813,19 @@ def iqr_scale_approx(spark, sf_dir):
     crosses a value boundary on 50 distinct quantities)."""
     li = Catalog(spark, sf_dir).table("lineitem")
     q = F.col("l_quantity").cast("double")
+    # r13 opt: ONE exact buffer + ONE sketch per group (array forms —
+    # the winsorize_approx-documented pattern); six scalar calls
+    # buffered the group six times over
+    quarts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     th = li.groupBy("l_returnflag").agg(
-        F.percentile(q, F.lit(0.25)).alias("_eq1"),
-        F.percentile(q, F.lit(0.5)).alias("_emed"),
-        F.percentile(q, F.lit(0.75)).alias("_eq3"),
-        F.approx_percentile(q, F.lit(0.25), F.lit(10_000)).alias("_aq1"),
-        F.approx_percentile(q, F.lit(0.5), F.lit(10_000)).alias("_amed"),
-        F.approx_percentile(q, F.lit(0.75), F.lit(10_000)).alias("_aq3"),
+        F.percentile(q, quarts).alias("_e"),
+        F.approx_percentile(q, quarts, F.lit(10_000)).alias("_a"),
+    ).select(
+        "l_returnflag",
+        F.col("_e")[0].alias("_eq1"), F.col("_e")[1].alias("_emed"),
+        F.col("_e")[2].alias("_eq3"),
+        F.col("_a")[0].alias("_aq1"), F.col("_a")[1].alias("_amed"),
+        F.col("_a")[2].alias("_aq3"),
     )
     se = F.when(F.col("_eq3") != F.col("_eq1"),
                 (q - F.col("_emed")) / (F.col("_eq3") - F.col("_eq1")))
@@ -7365,6 +7410,10 @@ def theil_sen(spark, sf_dir):
     use the exact interpolating percentile (`percentiles` pairing)."""
     o = Catalog(spark, sf_dir).table("orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # r13 opt note: materializing the per-day table (it fans out into
+    # five subplan references) was A/B-measured SLOWER (2.91 vs
+    # 2.55 s isolated min-of-5 at sf0.1 — the eager checkpoint costs
+    # more than the repeated cheap aggregates it saves); kept as-is
     daily = (o.groupBy(F.to_date("o_orderdate").alias("_d"))
              .agg(F.sum(cents).alias("_r")))
     d0 = daily.agg(F.min("_d").alias("_d0"))
@@ -7711,11 +7760,17 @@ def fulfillment_latency(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             (F.sum("_lat").cast("double")
              / F.count(F.lit(1)).cast("double")).alias("avg_days"),
-            F.percentile(F.col("_lat").cast("double"), F.lit(0.5))
-            .alias("p50_days"),
-            F.percentile(F.col("_lat").cast("double"), F.lit(0.9))
-            .alias("p90_days"),
+            # r13 opt: one percentile buffer for both points (array
+            # form — the winsorize_approx-documented pattern)
+            F.percentile(F.col("_lat").cast("double"),
+                         F.array(F.lit(0.5), F.lit(0.9))).alias("_p"),
             F.max("_lat").cast("long").alias("max_days"),
+        )
+        .select(
+            "priority", "n_lines", "avg_days",
+            F.col("_p")[0].alias("p50_days"),
+            F.col("_p")[1].alias("p90_days"),
+            "max_days",
         )
     )
 
