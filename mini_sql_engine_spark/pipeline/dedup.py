@@ -587,11 +587,16 @@ def prefix_filter_jaccard_pairs(
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrs = spread(docs.select("doc_id", "text")).select(
-        "doc_id",
-        F.array_sort(F.array_distinct(shingles(tokens("text"), n)))
-        .alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    # r13 opt: the (doc → sorted shingle array) verify map feeds BOTH
+    # sides of the candidate join — materialize it once instead of
+    # rebuilding the shingle arrays per side
+    arrs = materialized(
+        spread(docs.select("doc_id", "text")).select(
+            "doc_id",
+            F.array_sort(F.array_distinct(shingles(tokens("text"), n)))
+            .alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    )
     j = (
         cands
         .join(arrs.select(F.col("doc_id").alias("doc_a"),

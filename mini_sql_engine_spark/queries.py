@@ -3088,8 +3088,11 @@ def boilerplate_strip(spark, sf_dir):
     segs = F.expr(
         "transform(sequence(0, (size(_toks) - 1) div 2), "
         "i -> array_join(slice(_toks, i * 2 + 1, 2), ' '))")
+    # r13 opt: `spread` floors the scan parallelism under the segment
+    # build (one-split input serialized the transform+explode)
     seg_rows = (
-        d.select("doc_id", toks.alias("_toks"))
+        PL.spread(d.select("doc_id", "text"))
+        .select("doc_id", toks.alias("_toks"))
         .select("doc_id", F.posexplode(segs).alias("seg_pos", "seg"))
     )
     df_ = seg_rows.groupBy("seg").agg(
@@ -5708,8 +5711,11 @@ def dedup_graph_stats(spark, sf_dir):
     node/edge counts, max and mean degree, and 1-row shape. Degrees
     come from exploding each capped-Jaccard edge into its two
     endpoints — one keyed agg on an already-tiny pair table."""
-    pairs = DD.ngram_jaccard_pairs_capped(
-        Catalog(spark, sf_dir).table("documents"), n=3, threshold=0.6)
+    # r13 opt: the pair table feeds TWO consumers (degree explode and
+    # the edge count) — materialize the tiny edge set once instead of
+    # running the whole inverted-index pair pipeline twice
+    pairs = PL.materialized(DD.ngram_jaccard_pairs_capped(
+        Catalog(spark, sf_dir).table("documents"), n=3, threshold=0.6))
     ends = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("_v"))
     deg = ends.groupBy("_v").agg(F.count(F.lit(1)).alias("_d"))
     e = pairs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
@@ -6276,7 +6282,10 @@ def ks_test(spark, sf_dir):
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
         .cast("decimal(20,0)").cast("bigint")
     fl = F.col("l_returnflag")
-    per = (
+    # r13 opt: the distinct-cents count table feeds the totals scalar,
+    # the prefix-sum's skinny branch AND its join-back — materialize
+    # once instead of re-aggregating the fact per reference
+    per = PL.materialized(
         li.filter(fl.isin("A", "R"))
         .select(fl.alias("_f"), cents.alias("_v"))
         .groupBy("_v")

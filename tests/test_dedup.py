@@ -158,3 +158,137 @@ def test_stratified_sample_rebalances_and_reproduces(spark):
     assert sorted(r.doc_id for r in s1.select("doc_id").collect()) == sorted(
         r.doc_id for r in s2.select("doc_id").collect()
     )
+
+
+# ───────────── r13 optimization-round regression pins ─────────────
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    """plans.spread: a frame whose planned partition count already
+    meets defaultParallelism must come back UNCHANGED (the 100 TB
+    case — at scale the scan has thousands of splits and spread may
+    not insert an exchange)."""
+    from mini_sql_engine_spark.plans import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, numPartitions=par + 4)
+    assert spread(wide) is wide
+
+
+def test_spread_floors_parallelism_of_small_scans(spark):
+    """plans.spread: a one-split frame is repartitioned up to
+    defaultParallelism, and the row set is unchanged."""
+    from mini_sql_engine_spark.plans import spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == par
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_doc_shingles_distinct_without_dedup_exchange(spark):
+    """r13 opt pin: _doc_shingles yields the DISTINCT (doc, shingle)
+    pairs via the in-row array_distinct — same set the old
+    explode+distinct produced, but the physical plan must not carry
+    the (doc_id, shingle)-keyed dedup exchange anymore."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z x y z"), (3, "a b")],
+        "doc_id long, text string")
+    ds = DD._doc_shingles(docs, 3)
+    rows = [(r.doc_id, r.shingle) for r in ds.collect()]
+    assert len(rows) == len(set(rows)), "pairs must be distinct"
+    got = {d: {s for dd, s in rows if dd == d} for d in (1, 2, 3)}
+    assert got[1] == py_shingles("a b c a b c a b c", 3)
+    assert got[2] == py_shingles("x y z x y z", 3)
+    assert got[3] == set()  # sub-shingle doc yields nothing
+    plan = ds._sc._jvm.PythonSQLUtils.explainString(
+        ds._jdf.queryExecution(), "formatted")
+    assert "hashpartitioning(doc_id" not in plan, (
+        "the old explode+distinct dedup exchange is back:\n" + plan)
+
+
+def test_minhash_band_hashes_matches_hof_reference(spark):
+    """r13 opt pin: the exploded-codegen band-hash kernel is
+    bit-identical to the per-row HOF reference formulation (the
+    pre-r13 shape, kept here as the executable spec)."""
+    from mini_sql_engine_spark.functions.text import (
+        bind_once, shingles, tokens)
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    num_hashes, bands = 32, 8
+    r = num_hashes // bands
+
+    sh = F.array_distinct(shingles(tokens("text"), 3))
+
+    def sigs(v):
+        return F.when(
+            F.size(v) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(v, lambda s: F.xxhash64(s, i))),
+            ),
+        )
+
+    ref = (
+        docs.select("doc_id", bind_once(sh, sigs).alias("sig"))
+        .select("doc_id", F.posexplode("sig").alias("seed", "minh"))
+        .withColumn("band_id", (F.col("seed") / r).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minh"))),
+                        lambda x: x["minh"].cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    got = DD.minhash_band_hashes(docs, 3, num_hashes, bands)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_minhash_signatures_md5_matches_hof_reference(spark):
+    """r13 opt pin: the exploded-codegen md5 signature kernel is
+    bit-identical to the per-row HOF reference formulation."""
+    from mini_sql_engine_spark.functions.text import (
+        bind_once, shingles, tokens)
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    num_hashes = 8
+    sh = F.array_distinct(shingles(tokens("text"), 3))
+
+    def sigs(v):
+        return F.when(
+            F.size(v) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(
+                        v,
+                        lambda s: F.substring(
+                            F.md5(
+                                F.concat(i.cast("string"), F.lit(":"), s)
+                                .cast("binary")),
+                            1, 16,
+                        ),
+                    )
+                ),
+            ),
+        )
+
+    ref = (
+        docs.select("doc_id", bind_once(sh, sigs).alias("sigs"))
+        .select("doc_id", F.posexplode("sigs").alias("seed", "minhash"))
+        .select("doc_id", F.col("seed").cast("long").alias("seed"),
+                "minhash")
+    )
+    got = DD.minhash_signatures_md5(docs, n=3, num_hashes=num_hashes)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
