@@ -201,9 +201,22 @@ def test_round6_shapes_stay_jvm_side(spark):
         assert "CartesianProduct" not in p, f"{qkey}: cartesian"
 
 
-def test_minhash_sig_plan_is_shuffle_free(spark):
+def test_minhash_sig_plan_is_one_partial_agg_exchange(spark):
+    """r13 opt: the signature kernel moved from the shuffle-free
+    per-row HOF form to exploded whole-stage codegen + per-doc min
+    aggregates — face-off-measured 2× faster, exceptAll-verified
+    bit-identical (tests/test_dedup.py pins the parity). The plan
+    gate now pins the NEW invariant: the only keyed exchange is the
+    doc_id partial-aggregate combine (map-side partials, ~num_hashes
+    ·16 B per doc per task), plus at most `spread`'s round-robin
+    parallelism floor — never a shuffle of exploded shingle rows
+    (no collect_set / no (doc, shingle)-keyed dedup)."""
     p = plan(Q.minhash_sig(spark, SF_SMOKE))
-    assert "Exchange" not in p, p
+    assert "collect_set" not in p, p
+    assert "hashpartitioning(doc_id, shingle" not in p, p
+    assert "partial_min" in p or "HashAggregate" in p, p
+    # exactly one doc_id-keyed exchange (the partial-agg combine)
+    assert p.count("hashpartitioning(doc_id") == 1, p
 
 
 def test_incremental_dedup_corpus_side_projects_hash_only(spark):
