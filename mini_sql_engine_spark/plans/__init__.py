@@ -3,7 +3,12 @@
 semantics. The plan-quality *gates* live in tests/test_plans.py; this
 package holds the runtime counterparts."""
 
-from mini_sql_engine_spark.plans.materialize import materialized, spread
+from mini_sql_engine_spark.plans.materialize import (
+    materialized,
+    new_generation,
+    release,
+    spread,
+)
 from mini_sql_engine_spark.plans.runtime_filters import (
     bloom_filter_nodes,
     enable_runtime_filters,
@@ -12,6 +17,8 @@ from mini_sql_engine_spark.plans.runtime_filters import (
 
 __all__ = [
     "materialized",
+    "new_generation",
+    "release",
     "spread",
     "bloom_filter_nodes",
     "enable_runtime_filters",

@@ -8796,3 +8796,25 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_asof": scd2_asof,
     "dedup_graph_stats": dedup_graph_stats,
 }
+
+
+def _with_checkpoint_generation(fn: QueryFn) -> QueryFn:
+    """Entry-point wrapper: every top-level query build starts a new
+    checkpoint generation, freeing the local-checkpoint blocks of the
+    PREVIOUS build (whose consumer has finished its action — bench,
+    the round driver and the contract drive all build/execute/discard
+    one key at a time). Without this, a 339-key sequential run
+    accumulates every fan-out intermediate it ever checkpointed on
+    the executor heap (r13 verdict: dedup keys read ~2× their
+    isolated times in-suite from that pressure)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        PL.new_generation()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+QUERIES = {k: _with_checkpoint_generation(v) for k, v in QUERIES.items()}

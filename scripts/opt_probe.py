@@ -4,7 +4,8 @@
 For each Qkey named on the command line:
   * time the noop-sink execution min-of-N on one warm session
     (bench.py methodology, labelled via setJobDescription), and
-  * write ``df.explain('formatted')`` to plans/r13/<key>_<tag>.txt.
+  * write ``df.explain('formatted')`` to plans/<dir>/<key>_<tag>.txt
+    (default plans/r14).
 
 Usage:
   python scripts/opt_probe.py [--tag before|after] [--reps N] key ...
@@ -36,9 +37,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--plans-dir", default="r14")
     args = ap.parse_args()
 
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = os.path.join(REPO, "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark(
         app_name="opt-probe",

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from mini_sql_engine_spark.catalog import Catalog
 from mini_sql_engine_spark.pipeline import dedup as DD
+from mini_sql_engine_spark.pipeline import graph as GR
 
 from tests.conftest import SF_SMOKE
 
@@ -292,3 +293,115 @@ def test_minhash_signatures_md5_matches_hof_reference(spark):
     got = DD.minhash_signatures_md5(docs, n=3, num_hashes=num_hashes)
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+# ───────────── r14 optimization-round regression pins ─────────────
+
+
+def test_simhash_md5_chunks_matches_digit_vote_reference(spark):
+    """r14 opt pin: the bit-packed two-lane vote kernel is
+    bit-identical to the r13 per-digit 64-aggregate reference
+    formulation (kept here as the executable spec)."""
+    from mini_sql_engine_spark.functions.text import shingles, tokens
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), 3)))
+        .alias("_s"),
+    ).select("doc_id", F.md5(F.col("_s").cast("binary")).alias("_h"))
+
+    def digit(pos):
+        a = F.ascii(F.substring("_h", pos, 1))
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+    dig = ex.select(
+        "doc_id", *[digit(p).alias(f"_d{p}") for p in range(1, 17)])
+    aggs = []
+    for j in range(64):
+        pos, shift = j // 4 + 1, 3 - j % 4
+        bit = (F.col(f"_d{pos}").bitwiseAND(1 << shift) != 0).cast("int")
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_v{j}"))
+    votes = dig.groupBy("doc_id").agg(*aggs)
+    cols = []
+    for k in range(4):
+        chunk = F.lit(0)
+        for b in range(16):
+            chunk = chunk + ((F.col(f"_v{k * 16 + b}") > 0).cast("long")
+                             * (1 << (15 - b)))
+        cols.append(chunk.alias(f"c{k}"))
+    ref = votes.select("doc_id", *cols)
+
+    got = DD.simhash_md5_chunks(docs, n=3)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_simhash_md5_chunks_plan_is_packed(spark):
+    """r14 opt pin: the simhash vote aggregate carries the 32 packed
+    two-lane sums (+count), not the 64 per-bit sums of the r13 form."""
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    df = DD.simhash_md5_chunks(docs, n=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "_a31" in plan, "packed lane aggregates missing:\n" + plan
+    assert "_v63" not in plan, "r13 per-bit vote aggregates are back"
+    assert "ascii(" not in plan, (
+        "per-digit ascii decode is back in the row path")
+
+
+def test_materialized_checkpoints_released_on_new_generation(spark):
+    """r14 opt pin (VERDICT r13 #2): localCheckpoint blocks from one
+    query generation are unpersisted when the next generation starts,
+    and a frame checkpointed in the CURRENT generation stays usable."""
+    from mini_sql_engine_spark.plans import materialized, new_generation
+
+    jsc = spark.sparkContext._jsc.sc()
+    new_generation()  # flush anything earlier tests left behind
+    base = jsc.getPersistentRDDs().size()
+    ck = materialized(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    assert jsc.getPersistentRDDs().size() == base + 1
+    assert ck.count() == 100  # usable within its generation
+    new_generation()
+    assert jsc.getPersistentRDDs().size() == base
+
+
+def test_release_frees_only_the_target_checkpoint(spark):
+    """r14 opt pin: plans.release frees exactly the named frame's
+    blocks; sibling checkpoints of the same generation stay live."""
+    from mini_sql_engine_spark.plans import (
+        materialized, new_generation, release)
+
+    jsc = spark.sparkContext._jsc.sc()
+    new_generation()
+    base = jsc.getPersistentRDDs().size()
+    a = materialized(spark.range(50).selectExpr("id"))
+    b = materialized(spark.range(60).selectExpr("id"))
+    assert jsc.getPersistentRDDs().size() == base + 2
+    release(a)
+    assert jsc.getPersistentRDDs().size() == base + 1
+    assert b.count() == 60  # sibling unharmed
+    new_generation()
+    assert jsc.getPersistentRDDs().size() == base
+
+
+def test_cc_loop_releases_per_round_state(spark):
+    """r14 opt pin: connected_components frees the symmetric edge set
+    and every superseded round's label checkpoint — only the returned
+    labels' blocks stay live."""
+    from mini_sql_engine_spark.plans import new_generation
+
+    new_generation()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long")
+    labels = GR.dedup_clusters(pairs)
+    got = {(r.doc_id, r.cluster_rep) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
+    assert jsc.getPersistentRDDs().size() == base + 1, (
+        "CC loop must keep only the final label checkpoint live")
+    new_generation()
+    assert jsc.getPersistentRDDs().size() == base
