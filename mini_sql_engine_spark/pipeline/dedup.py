@@ -118,6 +118,24 @@ def ngram_jaccard_pairs_capped(
     # needs an extra checkpoint of the raw index; measured ~2× slower
     # at sf0.1). The filtered index feeds three consumers (sizes, both
     # join sides) — materialize it once, same as the uncapped plan.
+    #
+    # r14 A/B (VERDICT item 5, broadcast anti-join vs this window):
+    # computing the over-cap shingle list (map-side-combined count >
+    # max_df) and anti-probing it was measured at BOTH scales and
+    # REJECTED — with the count side recomputing the shingle build:
+    # dedup_ngram 2.03→3.11 s, dedup_eval 3.92→4.98 s at sf0.1; with
+    # the raw index checkpointed once instead: dedup_ngram 3.27 s
+    # sf0.1, and at sf1 dedup_ngram 5.02→7.18 s, dedup_cc
+    # 15.4→26.9 s, dedup_eval 4.38→6.21 s (min-of-3, same session
+    # methodology). On this corpus the cap band is empty-to-thin, so
+    # the anti form pays a whole extra aggregate + broadcast round
+    # trip per query for a sort the window does in one narrow
+    # exchange. The anti-join form only wins when stop-shingles give
+    # the window's hottest partition a posting list that no longer
+    # sorts in one task — i.e. true 100 TB skew, which neither sf0.1
+    # nor the disjoint-content sf1 series exhibits; it is documented
+    # here as the skew escape hatch rather than shipped as a
+    # measured-slower default.
     w = Window.partitionBy("shingle")
     ds = materialized(
         _doc_shingles(docs, n)

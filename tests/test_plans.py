@@ -856,9 +856,9 @@ PREFIX_SUM_CALLER_KEYS = {
     # totals the skinny (part, cents) aggregate
     "heaps_curve": 1,
     "pareto_knee": 2,
-    # cycle-4 perf fix: theil_sen ranks the skinny slope table instead
-    # of a single-reducer exact percentile over ~3M values
-    "theil_sen": 1,
+    # (r14: theil_sen left this table — its slope median now uses the
+    # two-pass band selection with NO rank machinery at all; gated by
+    # test_theil_sen_slope_rows_never_shuffled below)
 }
 
 
@@ -1040,6 +1040,23 @@ def test_round7c9_shapes_stay_jvm_side(spark):
         assert "BatchEvalPython" not in p, f"{qkey}: row-at-a-time UDF"
         assert "ArrowEvalPython" not in p, f"{qkey}: Python crossing"
         assert "BroadcastNestedLoopJoin" not in p, f"{qkey}: NLJ"
+
+
+def test_theil_sen_slope_rows_never_shuffled(spark):
+    """r14 (VERDICT item 6 area): the ~3M-row pairwise-slope stream
+    must never cross an exchange. The previous form range-partitioned
+    every slope for the distributed rank; the two-pass band selection
+    moves only (a) GK sketch partials and (b) (distinct band value,
+    count) pairs — both hash AGGREGATE partials. Pin: no
+    rangepartitioning exchange anywhere in the plan, and the band
+    pass's approx_percentile is present (proof the pruner, not an
+    exact single-reducer percentile over slopes, feeds selection).
+    Value exactness is pinned by the numpy replay
+    (test_round23_ops.test_theil_sen_numpy_replay, rel_tol 1e-9) and
+    the DuckDB oracle hash."""
+    p = plan(Q.QUERIES["theil_sen"](spark, SF_SMOKE))
+    assert "Exchange rangepartitioning" not in p, p
+    assert "approx_percentile" in p or "percentile_approx" in p, p
 
 
 def test_prefix_sum_caller_qkeys_reuse_range_exchange(spark):
